@@ -1,0 +1,53 @@
+"""Shared distributed-aggregation helpers.
+
+The reference's execution model is partial aggregation per thread-chunk with a
+final merge (/root/reference/src/output_results/mod.rs:87-88,127-132). The
+Ray-Data equivalent here is explicit two-phase aggregation: a per-batch
+``pyarrow`` hash-aggregate inside ``map_batches`` (the "partial"), then a
+``groupby().aggregate(Sum)`` over the tiny partials (the "final"). Only
+pre-aggregated rows cross the shuffle — at 10^12 turns the all-to-all moves
+per-block (key, count) pairs, not records. For hot keys (a Zipf message
+dominating error top-N), the partial step IS the salt: every block combines
+its own copies before the exchange, so the shuffle sees at most
+``num_blocks × distinct_keys`` rows.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+
+def _partial_count(batch: pa.Table, keys: list[str]) -> pa.Table:
+    agg = batch.group_by(keys).aggregate([([], "count_all")])
+    return agg.rename_columns(keys + ["cnt"])
+
+
+def grouped_count(ds: Dataset, keys: list[str]) -> Dataset:
+    """count(*) grouped by ``keys`` with per-block pre-aggregation.
+
+    Result columns: ``keys + ["cnt"]`` (int64).
+    """
+    partials = ds.map_batches(
+        _partial_count, batch_format="pyarrow", fn_kwargs={"keys": list(keys)}
+    )
+    return partials.groupby(list(keys)).aggregate(Sum("cnt", alias_name="cnt"))
+
+
+def _partial_sums(batch: pa.Table, cols: list[str]) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {c: pa.array([pc.sum(batch[c]).as_py() or 0], type=pa.int64()) for c in cols}
+    )
+
+
+def global_sums(ds: Dataset, cols: list[str]) -> dict[str, int]:
+    """Global sums of int columns via per-batch partials + one tiny final
+    aggregate (no full-row shuffle)."""
+    partials = ds.map_batches(
+        _partial_sums, batch_format="pyarrow", fn_kwargs={"cols": list(cols)}
+    )
+    row = partials.aggregate(*[Sum(c, alias_name=c) for c in cols])
+    return {c: int(row[c] or 0) for c in cols}

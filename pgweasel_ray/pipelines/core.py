@@ -1,0 +1,402 @@
+"""The pgweasel-parity pipelines, Ray-Data-first.
+
+Each function mirrors one reference subcommand / aggregator (SURVEY.md §2-3)
+over the transcript table: ``read_parquet`` (column-pruned) → ONE fused
+parse+filter+project ``map_batches`` pass → optional pre-aggregated
+``groupby`` / distributed ``sort().limit()``. Reference defaults are kept:
+Error floor for ``errors`` (main.rs:85-87), Log floor elsewhere
+(main.rs:136,140,145,155,163), 3 s slow threshold (main.rs:157), top-20
+messages (main.rs:93), top-10 slow (main.rs:153), 1 h histogram buckets
+(main.rs:108), 10 min connection buckets (connections.rs:33).
+
+Divergences from the reference (documented in SURVEY.md §7.4): exact top-N
+instead of merge-pruned approximate top-N (error_frequency.rs:54-64); int64
+counters instead of u16 (connections.rs:9-17); deterministic tie-breaks on
+sorts; rows with unextractable messages are skipped, not fatal.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from ..kernels import parse_table
+from ..sources import lookups
+from ..sources.transcripts import read_transcripts
+from ..stages.enrich import EnrichStage
+from ..stages.parse import add_bucket, parse_filter_project
+from .common import global_sums, grouped_count
+
+ERROR_RANK = 8
+LOG_RANK = 5
+TOP_N_MESSAGES = 20
+TOP_SLOW_K = 10
+SLOW_THRESHOLD_MS = 3000.0
+HIST_WIDTH_S = 3600
+CONN_BUCKET_S = 600
+
+# fixed absolute window for the time-range query (parity with oracle SQL)
+WINDOW_BEGIN = "2025-05-21 10:30:00"
+WINDOW_END = "2025-05-21 11:15:00"
+MASK_SUBSTRING = "password authentication failed"
+
+
+def _us(ts: str) -> int:
+    return int(pd.Timestamp(ts).value // 1000)
+
+
+# --- errors ------------------------------------------------------------------
+
+def errors_list(sf_dir: str, min_rank: int = ERROR_RANK) -> Dataset:
+    """`pgweasel errors list`: records at/above the Error floor, with their
+    parsed severity + message. main.rs:79-91."""
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    return ds.map_batches(
+        parse_filter_project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(
+            groups=("severity", "message"),
+            min_rank=min_rank,
+            keep=("conv_id", "turn_idx", "severity", "message", "text"),
+        ),
+    )
+
+
+def errors_by_severity(sf_dir: str) -> Dataset:
+    """Count per severity at/above the Error floor."""
+    return grouped_count(
+        errors_list(sf_dir).select_columns(["severity"]), ["severity"]
+    )
+
+
+def errors_top_messages(sf_dir: str, limit: int = TOP_N_MESSAGES) -> Dataset:
+    """`pgweasel errors top`: most frequent messages (error_frequency.rs).
+    EXACT top-N (the reference's merge-time pruning is approximate); ties
+    broken by message ascending for determinism."""
+    ds = read_transcripts(sf_dir, columns=["text"])
+    msgs = ds.map_batches(
+        parse_filter_project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(
+            groups=("severity", "message"),
+            min_rank=ERROR_RANK,
+            keep=("message",),
+        ),
+    )
+    msgs = msgs.map_batches(
+        _drop_null_messages, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = grouped_count(msgs, ["message"])
+    return counts.sort(["cnt", "message"], descending=[True, False]).limit(limit)
+
+
+def _drop_null_messages(batch: pa.Table) -> pa.Table:
+    return batch.filter(pc.is_valid(batch["message"]))
+
+
+def errors_hist(sf_dir: str, width_s: int = HIST_WIDTH_S) -> Dataset:
+    """`pgweasel errors hist`: records per epoch-floored bucket
+    (error_histogram.rs:21-56), default 1 h."""
+    ds = read_transcripts(sf_dir, columns=["text", "ts"])
+    filtered = ds.map_batches(
+        parse_filter_project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(groups=("severity",), min_rank=ERROR_RANK, keep=("ts",)),
+    )
+    bucketed = filtered.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"width_s": width_s},
+    ).select_columns(["bucket_ts"])
+    return grouped_count(bucketed, ["bucket_ts"]).sort("bucket_ts")
+
+
+# --- slow --------------------------------------------------------------------
+
+def slow_list(sf_dir: str, threshold_ms: float = SLOW_THRESHOLD_MS) -> Dataset:
+    """`pgweasel slow <THRESHOLD>`: duration strictly greater than the
+    threshold (filter_slow.rs:18-21; absent duration ⇒ drop), Log floor."""
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    parsed = ds.map_batches(
+        parse_filter_project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(
+            groups=("severity", "duration"),
+            min_rank=LOG_RANK,
+            keep=("conv_id", "turn_idx", "duration_ms", "text"),
+        ),
+    )
+    return parsed.map_batches(
+        _slow_filter, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"threshold_ms": threshold_ms},
+    )
+
+
+def _slow_filter(batch: pa.Table, threshold_ms: float) -> pa.Table:
+    mask = pc.fill_null(pc.greater(batch["duration_ms"], threshold_ms), False)
+    return batch.filter(mask)
+
+
+def slow_top(sf_dir: str, k: int = TOP_SLOW_K) -> Dataset:
+    """`pgweasel slow top`: top-k by extracted duration (top_slow_query.rs),
+    via distributed sort+limit; ties broken by (conv_id, turn_idx)."""
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    parsed = ds.map_batches(
+        parse_filter_project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(
+            groups=("severity", "duration"),
+            min_rank=LOG_RANK,
+            keep=("conv_id", "turn_idx", "duration_ms", "text"),
+        ),
+    ).map_batches(_drop_null_durations, batch_format="pyarrow", zero_copy_batch=True)
+    return parsed.sort(
+        ["duration_ms", "conv_id", "turn_idx"], descending=[True, False, False]
+    ).limit(k)
+
+
+def _drop_null_durations(batch: pa.Table) -> pa.Table:
+    return batch.filter(pc.is_valid(batch["duration_ms"]))
+
+
+# --- locks / system / mask / window -----------------------------------------
+
+def locks(sf_dir: str) -> Dataset:
+    """`pgweasel locks`: LockingFilter needles at Log floor
+    (main.rs:134-137)."""
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    return ds.map_batches(
+        parse_filter_project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(
+            groups=("severity", "locks"),
+            min_rank=LOG_RANK,
+            require=(("is_lock", None),),
+            keep=("conv_id", "turn_idx", "text"),
+        ),
+    )
+
+
+def system(sf_dir: str) -> Dataset:
+    """`pgweasel system`: SystemFilter needles at Log floor
+    (main.rs:138-141)."""
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    return ds.map_batches(
+        parse_filter_project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(
+            groups=("severity", "system"),
+            min_rank=LOG_RANK,
+            require=(("is_system", None),),
+            keep=("conv_id", "turn_idx", "text"),
+        ),
+    )
+
+
+def errors_masked(sf_dir: str, mask: str = MASK_SUBSTRING) -> Dataset:
+    """`pgweasel errors -m <mask>`: substring mask composes before the
+    severity floor (output_results/mod.rs:50-53,157-169); floor Error."""
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    return ds.map_batches(
+        parse_filter_project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(
+            groups=("severity",),
+            contains=mask,
+            min_rank=ERROR_RANK,
+            keep=("conv_id", "turn_idx", "severity", "text"),
+        ),
+    )
+
+
+def errors_window(
+    sf_dir: str, begin: str = WINDOW_BEGIN, end: str = WINDOW_END
+) -> Dataset:
+    """`pgweasel errors -b/-e`: inclusive time bounds on the turn timestamp
+    (output_results/mod.rs:180-185), floor Error."""
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text", "ts"])
+    return ds.map_batches(
+        parse_filter_project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(
+            groups=("severity",),
+            min_rank=ERROR_RANK,
+            begin_us=_us(begin),
+            end_us=_us(end),
+            keep=("conv_id", "turn_idx", "severity", "text"),
+        ),
+    )
+
+
+# --- connections -------------------------------------------------------------
+
+def _conn_parse(batch: pa.Table, keep: tuple[str, ...]) -> pa.Table:
+    batch = parse_table(batch, groups=("severity", "message", "event", "kv"))
+    return batch.select(list(keep))
+
+
+def connections_summary(sf_dir: str) -> pd.DataFrame:
+    """ConnectionsAggregator's four scalar counters (connections.rs:39-104):
+    attempts (`connection received:`), authenticated (`connection
+    authorized:`), SSL-authenticated, failures (FATAL + auth-failure
+    needles). int64 (the reference's u16 overflows at 65k; SURVEY §7.4)."""
+    ds = read_transcripts(sf_dir, columns=["text"])
+    partials = ds.map_batches(
+        _conn_summary_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    sums = global_sums(
+        partials, ["attempts", "authenticated", "authenticated_ssl", "failures"]
+    )
+    return pd.DataFrame([sums])
+
+
+def _conn_summary_partial(batch: pa.Table) -> pa.Table:
+    batch = parse_table(batch, groups=("severity", "message", "event"))
+    ev = batch["event"]
+
+    def n(mask):
+        return pa.array(
+            [pc.sum(pc.cast(pc.fill_null(mask, False), pa.int64())).as_py() or 0],
+            type=pa.int64(),
+        )
+
+    return pa.table(
+        {
+            "attempts": n(pc.equal(ev, "received")),
+            "authenticated": n(pc.equal(ev, "authorized")),
+            "authenticated_ssl": n(batch["ssl"]),
+            "failures": n(pc.equal(ev, "auth_failure")),
+        }
+    )
+
+
+def _conn_grouped(sf_dir: str, event: str, key: str) -> Dataset:
+    ds = read_transcripts(sf_dir, columns=["text"])
+    rows = ds.map_batches(
+        _conn_key_rows, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"event": event, "key": key},
+    )
+    return grouped_count(rows, [key])
+
+
+def _conn_key_rows(batch: pa.Table, event: str, key: str) -> pa.Table:
+    batch = parse_table(batch, groups=("severity", "message", "event", "kv"))
+    mask = pc.fill_null(pc.equal(batch["event"], event), False)
+    kept = batch.filter(mask)
+    # missing kv → "unknown" (connections.rs:65,85-97)
+    return pa.table({key: pc.fill_null(kept[key], "unknown")})
+
+
+def connections_by_host(sf_dir: str) -> Dataset:
+    """Attempts grouped by host= (connections.rs:63-77)."""
+    return _conn_grouped(sf_dir, "received", "host")
+
+
+def connections_by_user(sf_dir: str) -> Dataset:
+    return _conn_grouped(sf_dir, "authorized", "user")
+
+
+def connections_by_db(sf_dir: str) -> Dataset:
+    return _conn_grouped(sf_dir, "authorized", "db")
+
+
+def connections_by_appname(sf_dir: str) -> Dataset:
+    return _conn_grouped(sf_dir, "authorized", "appname")
+
+
+def connections_by_bucket(sf_dir: str, width_s: int = CONN_BUCKET_S) -> Dataset:
+    """Attempts per 10-min bucket (connections.rs:71-77,189-227)."""
+    ds = read_transcripts(sf_dir, columns=["text", "ts"])
+    rows = ds.map_batches(
+        _conn_bucket_rows, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"width_s": width_s},
+    )
+    return grouped_count(rows, ["bucket_ts"]).sort("bucket_ts")
+
+
+def _conn_bucket_rows(batch: pa.Table, width_s: int) -> pa.Table:
+    batch = parse_table(batch, groups=("severity", "message", "event"))
+    mask = pc.fill_null(pc.equal(batch["event"], "received"), False)
+    kept = batch.filter(mask)
+    return add_bucket(kept, width_s).select(["bucket_ts"])
+
+
+# --- sessions (new per north_star) ------------------------------------------
+
+def sessions(sf_dir: str) -> Dataset:
+    """Per-conv_id session reconstruction under stable (conv_id, turn_idx)
+    order: turn count, time span, error count, and the full transcript
+    joined with newlines in turn order.
+
+    Scale note: the shuffle key is conv_id (the skew-sensitive hot key —
+    BASELINE.json); per-group work is bounded by conversation length, which
+    is physically bounded for transcripts, so no salting is needed here —
+    hot-key salting applies to the *aggregate* pipelines (see
+    pipelines.common)."""
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text", "ts"])
+    parsed = ds.map_batches(
+        parse_filter_project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(groups=("severity",),
+                       keep=("conv_id", "turn_idx", "text", "ts", "severity_rank")),
+    )
+    return parsed.groupby("conv_id").map_groups(
+        _session_fn, batch_format="pandas"
+    )
+
+
+def _session_fn(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values("turn_idx")
+    return pd.DataFrame(
+        [
+            {
+                "conv_id": df["conv_id"].iloc[0],
+                "n_turns": len(df),
+                "first_ts": df["ts"].min(),
+                "last_ts": df["ts"].max(),
+                "n_errors": int((df["severity_rank"] >= ERROR_RANK).sum()),
+                "transcript": "\n".join(df["text"]),
+            }
+        ]
+    )
+
+
+# --- enrich (new per north_star) --------------------------------------------
+
+def enriched_severity_counts(sf_dir: str) -> Dataset:
+    """Broadcast-enrich (role→tenant, tool→subsystem) then count by
+    (tenant, subsystem, severity). The lookup dicts are ray.put once and
+    land in each actor's __init__ — never shipped per batch."""
+    import ray
+
+    role_map = lookups.load_map(sf_dir, "role_tenant")
+    tool_map = lookups.load_map(sf_dir, "tool_subsystem")
+    ds = read_transcripts(sf_dir, columns=["role", "tool", "text"])
+    parsed = ds.map_batches(
+        parse_filter_project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(groups=("severity",), keep=("role", "tool", "severity")),
+    )
+    enriched = parsed.map_batches(
+        EnrichStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_constructor_args=(ray.put(role_map), ray.put(tool_map)),
+        concurrency=(1, 4),
+    )
+    return grouped_count(
+        enriched.select_columns(["tenant", "subsystem", "severity"]),
+        ["tenant", "subsystem", "severity"],
+    )

@@ -1,0 +1,150 @@
+"""Fan-out router: severity- and tool-partitioned Parquet sinks with
+per-shard lineage manifest and idempotent resume.
+
+The reference's "router" is stdout in file order
+(/root/reference/src/output_results/mod.rs:201-203); at 10^12-turn scale the
+equivalent is a partitioned Parquet layout:
+
+    out/shard=K/severity=<sev>/tool=<tool>/*.parquet
+
+- **Shard** = a deterministic group of input files (the resume unit). A rerun
+  consults the manifest and skips shards already committed; a crashed shard
+  is rewritten from scratch (its directory is cleared first, so the write is
+  idempotent, not append-duplicating).
+- **Within a shard** rows are sorted by (conv_id, turn_idx) before the write
+  so routed output has stable turn ordering (SURVEY.md §2.5 O4).
+- **Partition columns** severity × tool give the fan-out the north_star asks
+  for; at scale, low-cardinality severity partitions are kept from exploding
+  into tiny files because each shard writes its own directory tree (file
+  count ∝ shards × partitions, independent of total rows).
+- Every shard commit records input files, row count, per-severity counts and
+  wall time in the manifest (state/manifest.py).
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+from pathlib import Path
+
+import pyarrow.dataset as pads
+
+from ..sources import lookups
+from ..sources.transcripts import ensure_fixture, fixture_dir
+from ..stages.enrich import EnrichStage
+from ..stages.parse import parse_batch
+from ..state.manifest import Manifest
+
+ROUTED_SCHEMA_GROUPS = ("severity", "message", "duration")
+
+
+def _input_files(sf_dir: str) -> list[str]:
+    root = ensure_fixture(sf_dir)
+    if root.is_dir():
+        return sorted(str(p) for p in root.glob("*.parquet"))
+    return [str(root)]
+
+
+def _shards(files: list[str], num_shards: int) -> list[list[str]]:
+    num_shards = max(1, min(num_shards, len(files)))
+    return [files[i::num_shards] for i in range(num_shards)]
+
+
+def route(
+    sf_dir: str,
+    out_dir: str | Path | None = None,
+    num_shards: int = 4,
+    enrich: bool = True,
+) -> Manifest:
+    """Run (or resume) the routed sink for ``sf_dir``; returns the manifest."""
+    import ray
+    import ray.data
+
+    out_root = Path(out_dir) if out_dir else fixture_dir(sf_dir) / "routed"
+    manifest = Manifest(out_root / "MANIFEST.json")
+
+    if enrich:
+        role_ref = ray.put(lookups.load_map(sf_dir, "role_tenant"))
+        tool_ref = ray.put(lookups.load_map(sf_dir, "tool_subsystem"))
+
+    for i, shard_files in enumerate(_shards(_input_files(sf_dir), num_shards)):
+        key = f"shard={i}"
+        shard_dir = out_root / key
+        if manifest.is_done(key, shard_dir):
+            continue
+        t0 = time.monotonic()
+        if shard_dir.exists():
+            shutil.rmtree(shard_dir)  # idempotent rewrite, never append-dup
+
+        ds = ray.data.read_parquet(shard_files)
+        ds = ds.map_batches(
+            parse_batch, batch_format="pyarrow", zero_copy_batch=True,
+            fn_kwargs={"groups": ROUTED_SCHEMA_GROUPS},
+        )
+        if enrich:
+            ds = ds.map_batches(
+                EnrichStage,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                fn_constructor_args=(role_ref, tool_ref),
+                concurrency=(1, 4),
+            )
+        # stable (conv_id, turn_idx) order within the shard (SURVEY §2.5 O4)
+        ds = ds.sort(["conv_id", "turn_idx"])
+        ds.write_parquet(str(shard_dir), partition_cols=["severity", "tool"])
+
+        rows, by_severity = _written_counts(shard_dir)
+        manifest.commit(
+            key,
+            rows=rows,
+            inputs=shard_files,
+            wall_s=time.monotonic() - t0,
+            extra={"by_severity": by_severity},
+        )
+    return manifest
+
+
+def _written_counts(shard_dir: Path) -> tuple[int, dict[str, int]]:
+    """Row counts from the written files' parquet footers (validates the sink
+    bytes, costs metadata reads only)."""
+    import pyarrow.parquet as pq
+
+    total, by_severity = 0, {}
+    for f in shard_dir.rglob("*.parquet"):
+        n = pq.read_metadata(f).num_rows
+        total += n
+        sev = next(
+            (p.split("=", 1)[1] for p in f.parts if p.startswith("severity=")),
+            "unknown",
+        )
+        by_severity[sev] = by_severity.get(sev, 0) + n
+    return total, by_severity
+
+
+def routed_counts(sf_dir: str, **route_kwargs):
+    """Severity → row count of the routed sink, from the committed manifest
+    (runs/resumes the router first). Oracle-checkable: must equal a plain
+    GROUP BY over the input."""
+    import pandas as pd
+
+    manifest = route(sf_dir, **route_kwargs)
+    agg: dict[str, int] = {}
+    for e in manifest.entries.values():
+        for sev, n in e.get("by_severity", {}).items():
+            agg[sev] = agg.get(sev, 0) + n
+    return (
+        pd.DataFrame({"severity": list(agg), "cnt": list(agg.values())})
+        .sort_values("severity")
+        .reset_index(drop=True)
+    )
+
+
+def read_routed(sf_dir: str, out_dir: str | Path | None = None):
+    """Read the routed dataset back (hive partition discovery)."""
+    import ray.data
+
+    out_root = Path(out_dir) if out_dir else fixture_dir(sf_dir) / "routed"
+    shard_dirs = sorted(str(p) for p in out_root.glob("shard=*"))
+    return ray.data.read_parquet(
+        shard_dirs, dataset_kwargs={"partitioning": pads.partitioning(flavor="hive")}
+    )
