@@ -1,0 +1,136 @@
+"""Per-query DuckDB oracle SQL, parameterized by sf dir.
+
+``build_oracles(sf_dir)`` returns {query_name: SQL}. Transcript queries read
+the SAME fixture parquet the Ray pipelines read (via read_parquet on the
+fixture glob); events/documents/embeddings queries use the driver's
+pre-registered views. Queries absent from the dict are non-SQL-expressible
+(stateful/approximate) and get the driver's rows-only check; their semantics
+are asserted in tests/ instead.
+"""
+
+from __future__ import annotations
+
+from . import oracle
+from .pipelines import core
+from .sources.transcripts import ensure_fixture, lookup_path, transcripts_glob
+
+
+def build_oracles(sf_dir: str) -> dict[str, str]:
+    ensure_fixture(sf_dir)  # the oracle may run before the Ray query does
+    glob = transcripts_glob(sf_dir)
+    cte = oracle.parsed_cte(glob)
+    role_pq = str(lookup_path(sf_dir, "role_tenant"))
+    tool_pq = str(lookup_path(sf_dir, "tool_subsystem"))
+
+    h1 = oracle.bucket_expr(core.HIST_WIDTH_S)
+    b10 = oracle.bucket_expr(core.CONN_BUCKET_S)
+    eh = oracle.bucket_expr(3600)
+
+    return {
+        "errors_list": f"""{cte}
+SELECT conv_id, turn_idx, severity, message, text FROM parsed
+WHERE severity_rank >= {core.ERROR_RANK}""",
+        "errors_by_severity": f"""{cte}
+SELECT severity, count(*) AS cnt FROM parsed
+WHERE severity_rank >= {core.ERROR_RANK} GROUP BY severity""",
+        "errors_top_messages": f"""{cte}
+SELECT message, count(*) AS cnt FROM parsed
+WHERE severity_rank >= {core.ERROR_RANK} AND message IS NOT NULL
+GROUP BY message ORDER BY cnt DESC, message LIMIT {core.TOP_N_MESSAGES}""",
+        "errors_hist": f"""{cte}
+SELECT {h1} AS bucket_ts, count(*) AS cnt FROM parsed
+WHERE severity_rank >= {core.ERROR_RANK} GROUP BY bucket_ts ORDER BY bucket_ts""",
+        "errors_masked": f"""{cte}
+SELECT conv_id, turn_idx, severity, text FROM parsed
+WHERE contains(text, '{core.MASK_SUBSTRING}')
+  AND severity_rank >= {core.ERROR_RANK}""",
+        "errors_window": f"""{cte}
+SELECT conv_id, turn_idx, severity, text FROM parsed
+WHERE severity_rank >= {core.ERROR_RANK}
+  AND ts >= TIMESTAMP '{core.WINDOW_BEGIN}' AND ts <= TIMESTAMP '{core.WINDOW_END}'""",
+        "slow_list": f"""{cte}
+SELECT conv_id, turn_idx, duration_ms, text FROM parsed
+WHERE severity_rank >= {core.LOG_RANK} AND duration_ms > {core.SLOW_THRESHOLD_MS}""",
+        "slow_top": f"""{cte}
+SELECT conv_id, turn_idx, duration_ms, text FROM parsed
+WHERE severity_rank >= {core.LOG_RANK} AND duration_ms IS NOT NULL
+ORDER BY duration_ms DESC, conv_id, turn_idx LIMIT {core.TOP_SLOW_K}""",
+        "locks": f"""{cte}
+SELECT conv_id, turn_idx, text FROM parsed
+WHERE severity_rank >= {core.LOG_RANK} AND is_lock""",
+        "system": f"""{cte}
+SELECT conv_id, turn_idx, text FROM parsed
+WHERE severity_rank >= {core.LOG_RANK} AND is_system""",
+        "connections_summary": f"""{cte}
+SELECT
+  sum(CASE WHEN event = 'received' THEN 1 ELSE 0 END)::BIGINT AS attempts,
+  sum(CASE WHEN event = 'authorized' THEN 1 ELSE 0 END)::BIGINT AS authenticated,
+  sum(CASE WHEN {oracle.ssl_expr()} THEN 1 ELSE 0 END)::BIGINT AS authenticated_ssl,
+  sum(CASE WHEN event = 'auth_failure' THEN 1 ELSE 0 END)::BIGINT AS failures
+FROM parsed""",
+        "connections_by_host": f"""{cte}
+SELECT coalesce(host, 'unknown') AS host, count(*) AS cnt FROM parsed
+WHERE event = 'received' GROUP BY 1""",
+        "connections_by_user": f"""{cte}
+SELECT coalesce("user", 'unknown') AS "user", count(*) AS cnt FROM parsed
+WHERE event = 'authorized' GROUP BY 1""",
+        "connections_by_db": f"""{cte}
+SELECT coalesce(db, 'unknown') AS db, count(*) AS cnt FROM parsed
+WHERE event = 'authorized' GROUP BY 1""",
+        "connections_by_appname": f"""{cte}
+SELECT coalesce(appname, 'unknown') AS appname, count(*) AS cnt FROM parsed
+WHERE event = 'authorized' GROUP BY 1""",
+        "connections_by_bucket": f"""{cte}
+SELECT {b10} AS bucket_ts, count(*) AS cnt FROM parsed
+WHERE event = 'received' GROUP BY bucket_ts ORDER BY bucket_ts""",
+        "sessions": f"""{cte}
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       sum(CASE WHEN severity_rank >= {core.ERROR_RANK} THEN 1 ELSE 0 END)::BIGINT AS n_errors,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS transcript
+FROM parsed GROUP BY conv_id""",
+        "enriched_severity_counts": f"""{cte}
+SELECT coalesce(rt.tenant, 'unknown') AS tenant,
+       coalesce(tsb.subsystem, 'unknown') AS subsystem,
+       p.severity, count(*) AS cnt
+FROM parsed p
+LEFT JOIN read_parquet('{role_pq}') rt ON p.role = rt.role
+LEFT JOIN read_parquet('{tool_pq}') tsb ON p.tool = tsb.tool
+GROUP BY 1, 2, 3""",
+        "routed_counts": f"""{cte}
+SELECT severity, count(*) AS cnt FROM parsed GROUP BY severity ORDER BY severity""",
+        # --- events table (driver's native view) ---
+        "events_per_hour": f"""
+SELECT {eh} AS bucket_ts, count(*) AS cnt FROM events
+GROUP BY bucket_ts ORDER BY bucket_ts""",
+        "events_top_types": """
+SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type""",
+        "events_value_range": """
+SELECT event_type, min(value) AS min_value, max(value) AS max_value,
+       count(*) AS cnt
+FROM events GROUP BY event_type""",
+        # --- documents / embeddings ---
+        "dedup_exact": """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""",
+        "docs_token_stats": r"""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+FROM documents""",
+        "docs_quality": r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+       len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it)\b'))::BIGINT AS n_stop,
+       len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
+       (len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it)\b'))::DOUBLE
+        / nullif(len(regexp_extract_all(text, '\S+')), 0)) AS stop_ratio
+FROM documents""",
+        "ann_cosine_topk": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id
+FROM embeddings e, q
+ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
+LIMIT 10""",
+    }

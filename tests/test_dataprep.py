@@ -1,0 +1,152 @@
+"""Training-data ops: dedup (exact / MinHash / SimHash), similarity search,
+text analysis — semantic assertions on crafted corpora (the rows-only ops
+that have no SQL oracle get their real checks here)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pgweasel_ray.pipelines import dataprep
+from pgweasel_ray.testing import to_df
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def crafted_dir(tmp_path_factory):
+    """A documents.parquet with known duplicate structure:
+    0/1 exact dups; 2 near-dup of 0 (one word changed); 3/4 unrelated."""
+    d = tmp_path_factory.mktemp("crafted")
+    texts = [
+        BASE,
+        BASE,  # exact dup of 0
+        BASE.replace("lazy", "sleepy"),  # near dup of 0
+        "completely different content about distributed query engines and "
+        "arrow columnar formats with zero overlap in shingles whatsoever "
+        "because every word here is from another vocabulary entirely",
+        "ein kurzer deutscher text der die sprache erkennung testen soll "
+        "und nicht mit den anderen texten verwechselt werden kann",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en", "en", "en", "en", "de"]),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, d / "documents.parquet")
+    return str(d)
+
+
+def test_dedup_exact_crafted(crafted_dir):
+    got = sorted(to_df(dataprep.dedup_exact(crafted_dir))["doc_id"])
+    assert got == [0, 2, 3, 4]  # doc 1 (exact dup of 0) removed
+
+
+def test_dedup_minhash_removes_near_dups(crafted_dir):
+    got = sorted(dataprep.dedup_minhash(crafted_dir)["doc_id"])
+    assert 0 in got and 3 in got and 4 in got
+    assert 1 not in got  # exact dup always caught
+    assert 2 not in got  # one-word change shares most shingles → LSH-caught
+
+
+def test_dedup_simhash_removes_near_dups(crafted_dir):
+    got = sorted(dataprep.dedup_simhash(crafted_dir)["doc_id"])
+    assert 1 not in got and 2 not in got
+    assert 0 in got and 3 in got and 4 in got
+
+
+def test_lang_id_crafted(crafted_dir):
+    got = to_df(dataprep.docs_lang_id(crafted_dir)).set_index("doc_id")
+    assert got.loc[0, "lang_pred"] == "en"
+    assert got.loc[4, "lang_pred"] == "de"
+
+
+def test_fingerprint_deterministic_and_dup_sensitive(crafted_dir):
+    got = to_df(dataprep.docs_fingerprint(crafted_dir)).set_index("doc_id")
+    # identical texts → identical fingerprints; distinct texts → distinct
+    assert got.loc[0, "fingerprint"] == got.loc[1, "fingerprint"]
+    assert got.loc[0, "fingerprint"] != got.loc[3, "fingerprint"]
+    # deterministic across invocations
+    again = to_df(dataprep.docs_fingerprint(crafted_dir)).set_index("doc_id")
+    assert got["fingerprint"].to_dict() == again["fingerprint"].to_dict()
+
+
+def test_ann_bruteforce_matches_numpy(sf_dir):
+    got = list(to_df(dataprep.ann_cosine_topk(sf_dir))["vec_id"])
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    q = mat[list(t["vec_id"].to_pylist()).index(0)]
+    sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        zip(t["vec_id"].to_pylist(), sims), key=lambda x: (-x[1], x[0])
+    )
+    want = [v for v, _ in order[:10]]
+    assert got == want
+    assert got[0] == 0  # the query vector itself, cosine 1.0
+
+
+def test_ann_lsh_subset_and_self_hit(sf_dir):
+    lsh = list(dataprep.ann_lsh_topk(sf_dir)["vec_id"])
+    assert lsh[0] == 0  # query's own bucket always contains the query
+    # results must be exactly the top of the query's LSH bucket by exact
+    # cosine (the approximation prunes by bucket, never reorders)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    ids = np.array(t["vec_id"].to_pylist())
+    q = mat[list(ids).index(0)]
+    stage = dataprep.LshBucketStage(dim=mat.shape[1])
+    buckets = stage.signature(mat)
+    q_bucket = int(stage.signature(q[None, :])[0])
+    member_mask = buckets == q_bucket
+    sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    members = sorted(
+        zip(ids[member_mask], sims[member_mask]), key=lambda x: (-x[1], x[0])
+    )
+    want = [int(v) for v, _ in members[:10]]
+    assert lsh == want
+
+
+def test_embed_neardup_keeps_all_when_no_dups(sf_dir):
+    got = dataprep.embed_neardup(sf_dir)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    assert len(got) == t.num_rows  # random embeddings: no cosine > 0.999
+
+
+def test_embed_neardup_crafted(tmp_path):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(64).astype(np.float32)
+    rows = [
+        (0, base),
+        (1, base * np.float32(2.0)),           # same direction → cosine 1
+        (2, rng.standard_normal(64).astype(np.float32)),
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "embedding": pa.array([r[1].tolist() for r in rows],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array([0, 0, 0], type=pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    got = sorted(dataprep.embed_neardup(str(tmp_path))["vec_id"])
+    assert got == [0, 2]  # 1 is a scaled copy of 0 → removed
+
+
+def test_token_stats_matches_python(sf_dir):
+    got = to_df(dataprep.docs_token_stats(sf_dir)).set_index("doc_id")
+    t = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas().set_index("doc_id")
+    sample = t.head(20)
+    for doc_id, row in sample.iterrows():
+        assert got.loc[doc_id, "n_tokens"] == len(row["text"].split())
+        assert got.loc[doc_id, "n_chars"] == len(row["text"])
