@@ -1,0 +1,255 @@
+"""CLI veneer — pgweasel's command surface over the Ray Data engine.
+
+Flag layout, aliases and defaults mirror /root/reference/src/cli.rs:7-109 and
+main.rs:68-170:
+
+    pgweasel-ray [-b BEGIN] [-e END] [-m MASK] errors [list|top|hist] PATH...
+    pgweasel-ray errors top  [-m MAX] PATH        (max default 20)
+    pgweasel-ray errors hist [-b BUCKET] PATH     (bucket default 1h)
+    pgweasel-ray slow [TRESHOLD] PATH | slow top PATH   (threshold default 3s)
+    pgweasel-ray locks | system | connections PATH
+    pgweasel-ray route PATH --out DIR [--shards N]      (our routed sink)
+
+Global ``-b/-e`` accept absolute timestamps, date-only, "today" and relative
+intervals ("10m" = 10 minutes ago, "-10m" = 10 minutes ahead), resolved
+against now BEFORE the job (functions/timeparse.py ⇄ util.rs:33-169). Inside
+``errors hist``, ``-b`` is the bucket width, exactly as in the reference
+(cli.rs:40-45). Inputs may be transcript parquet, raw PostgreSQL logs
+(.log/.csv/.gz/.zip), or an sf fixture name.
+
+Severity floors: Error for errors (main.rs:85-87), Log elsewhere
+(main.rs:136,140,145,155,163).
+
+This module OWNS the Ray session (guarded init) — library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .functions.timeparse import parse_time_or_interval
+from .severity import RANK, severity_from_cli
+
+ALIASES = {
+    "err": "errors", "error": "errors",
+    "loc": "locks", "lock": "locks", "deadlock": "locks", "deadlocks": "locks",
+    "sys": "system", "pg": "system", "postgre": "system", "postgres": "system",
+    "conn": "connections", "conns": "connections",
+}
+ERROR_SUBCOMMANDS = {"list", "top", "hist", "histogram"}
+
+
+def _init_ray(num_cpus: int | None) -> bool:
+    """Returns True when this call owns (and must shut down) the session."""
+    import logging
+
+    import ray
+
+    owns = not ray.is_initialized()
+    if owns:
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return owns
+
+
+def _resolve_time(value: str | None) -> str | None:
+    return None if value is None else str(parse_time_or_interval(value))
+
+
+def normalize_argv(argv: list[str]) -> list[str]:
+    """Alias expansion + implicit ``errors list`` / explicit subcommand
+    handling (clap's default-subcommand behaviour, main.rs:80)."""
+    out = []
+    i = 0
+    seen_command = None
+    while i < len(argv):
+        tok = argv[i]
+        mapped = ALIASES.get(tok, tok)
+        if seen_command is None and mapped in (
+            "errors", "locks", "system", "connections", "slow", "route"
+        ):
+            seen_command = mapped
+            out.append(mapped)
+            if mapped == "errors":
+                nxt = argv[i + 1] if i + 1 < len(argv) else None
+                if nxt == "histogram":
+                    argv[i + 1] = "hist"
+                if nxt not in ERROR_SUBCOMMANDS:
+                    out.append("list")
+        else:
+            out.append(tok)
+        i += 1
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pgweasel-ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("-d", "--debug", action="store_true")
+    p.add_argument("-m", "--mask", default=None,
+                   help='substring mask, e.g. "2025-05-21 12:57"')
+    p.add_argument("-b", "--begin", default=None)
+    p.add_argument("-e", "--end", default=None)
+    sp = p.add_subparsers(dest="command", required=True)
+
+    def paths(sub):
+        sub.add_argument("paths", nargs="+",
+                         help="parquet transcripts / raw logs / sf name")
+
+    def level(sub):
+        sub.add_argument("-l", "--level", default=None)
+
+    errors = sp.add_parser("errors")
+    esp = errors.add_subparsers(dest="subcommand", required=True)
+    e_list = esp.add_parser("list"); level(e_list); paths(e_list)
+    e_top = esp.add_parser("top"); level(e_top); paths(e_top)
+    e_top.add_argument("-m", "--max", type=int, default=20)
+    e_hist = esp.add_parser("hist"); level(e_hist); paths(e_hist)
+    e_hist.add_argument("-b", "--bucket", default="1h")
+
+    slow = sp.add_parser("slow")
+    slow.add_argument("treshold", nargs="?", default="3s",
+                      help="duration threshold like 10s/10ms, or 'top'")
+    paths(slow)
+
+    for name in ("locks", "system", "connections"):
+        sub = sp.add_parser(name)
+        level(sub)
+        paths(sub)
+
+    route = sp.add_parser("route")
+    paths(route)
+    route.add_argument("--out", required=True)
+    route.add_argument("--shards", type=int, default=4)
+    return p
+
+
+def _input(args) -> str:
+    if len(args.paths) == 1:
+        return args.paths[0]
+    # multiple raw files: ingest together (S1 multiple-paths behaviour)
+    import tempfile
+
+    from .sources.rawlog import ingest_to_transcripts
+
+    out = tempfile.mkdtemp(prefix="pgweasel_ray_ingest_")
+    return ingest_to_transcripts(args.paths, out)
+
+
+def _print_records(ds) -> None:
+    # stable (conv_id, turn_idx) order, text verbatim (the reference prints
+    # in file order; ours is the documented deterministic order, SURVEY §2.5)
+    for batch in ds.sort(["conv_id", "turn_idx"]).iter_batches(
+        batch_size=4096, batch_format="pyarrow"
+    ):
+        for text in batch.column("text").to_pylist():
+            print(text)
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    args = build_parser().parse_args(normalize_argv(argv))
+    owns_session = _init_ray(args.num_cpus)
+    from .functions import render
+    from .pipelines import core, router
+    from .pipelines.common import grouped_count
+    from .stages.parse import add_bucket
+
+    begin, end, mask = _resolve_time(args.begin), _resolve_time(args.end), args.mask
+    inp = _input(args)
+
+    def floor(default_rank: int) -> int:
+        if getattr(args, "level", None):
+            return RANK[severity_from_cli(args.level)]
+        return default_rank
+
+    if args.command == "errors":
+        rank = floor(core.ERROR_RANK)
+        if args.subcommand == "list":
+            _print_records(core.records(inp, rank, mask, begin, end))
+        elif args.subcommand == "top":
+            ds = core.records(inp, rank, mask, begin, end,
+                              keep=("message",))
+            counts = (
+                grouped_count(
+                    ds.map_batches(core._drop_null_messages,
+                                   batch_format="pyarrow"),
+                    ["message"],
+                )
+                .sort(["cnt", "message"], descending=[True, False])
+                .limit(args.max)
+            )
+            print(render.render_frequency(counts.to_pandas(), "message"))
+        else:  # hist
+            import pandas as pd
+
+            width_s = max(1, int(pd.Timedelta(args.bucket).total_seconds()))
+            ds = core.records(inp, rank, mask, begin, end, keep=("ts",))
+            buckets = (
+                grouped_count(
+                    ds.map_batches(add_bucket, batch_format="pyarrow",
+                                   fn_kwargs={"width_s": width_s})
+                    .select_columns(["bucket_ts"]),
+                    ["bucket_ts"],
+                ).sort("bucket_ts")
+            )
+            print(render.render_histogram(buckets.to_pandas()))
+
+    elif args.command == "slow":
+        rank = core.LOG_RANK  # main.rs:155,163
+        if args.treshold == "top":
+            top = core.records(
+                inp, rank, mask, begin, end,
+                keep=("conv_id", "turn_idx", "duration_ms", "text"),
+            ).map_batches(core._drop_null_durations, batch_format="pyarrow")
+            top = top.sort(
+                ["duration_ms", "conv_id", "turn_idx"],
+                descending=[True, False, False],
+            ).limit(core.TOP_SLOW_K)
+            print(render.render_top_slow(top.to_pandas()))
+        else:
+            import pandas as pd
+
+            thr_ms = pd.Timedelta(args.treshold).total_seconds() * 1000.0
+            ds = core.records(inp, rank, mask, begin, end,
+                              keep=("conv_id", "turn_idx", "duration_ms", "text"))
+            ds = ds.map_batches(core._slow_filter, batch_format="pyarrow",
+                                fn_kwargs={"threshold_ms": thr_ms})
+            _print_records(ds)
+
+    elif args.command in ("locks", "system"):
+        feature = "is_lock" if args.command == "locks" else "is_system"
+        _print_records(
+            core.records(inp, floor(core.LOG_RANK), mask, begin, end,
+                         feature=feature)
+        )
+
+    elif args.command == "connections":
+        print(render.render_connections(
+            core.connections_summary(inp),
+            core.connections_by_host(inp).to_pandas().sort_values("host"),
+            core.connections_by_db(inp).to_pandas().sort_values("db"),
+            core.connections_by_user(inp).to_pandas().sort_values("user"),
+            core.connections_by_appname(inp).to_pandas().sort_values("appname"),
+            core.connections_by_bucket(inp).to_pandas(),
+        ))
+
+    elif args.command == "route":
+        manifest = router.route(inp, out_dir=args.out, num_shards=args.shards)
+        print(f"routed {manifest.total_rows()} turns into "
+              f"{len(manifest.entries)} shards under {args.out}")
+
+    if owns_session:
+        import ray
+
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

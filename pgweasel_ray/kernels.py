@@ -29,20 +29,21 @@ def _bool_np(arr: pa.Array) -> np.ndarray:
 
 # --- severity ----------------------------------------------------------------
 
-def severity_columns(text: pa.Array) -> tuple[pa.Array, pa.Array]:
+def severity_columns(text: pa.Array, fmt: str = "plain") -> tuple[pa.Array, pa.Array]:
     """(severity name, severity rank) per record.
 
     Substring needles checked in the reference's fixed order — first match
     wins, independent of position in the record; default "log"/5.
-    severity.rs:62-101 (needles + order), severity.rs:161-176 (ranks).
+    severity.rs:62-101 (plain needles ``ERROR:``) / severity.rs:20-58 (csv
+    needles ``,ERROR,``); ranks severity.rs:161-176.
     """
     text = _as_array(text)
+    needles = sev.CSV_NEEDLES if fmt == "csv" else sev.PLAIN_NEEDLES
     conds = [
-        _bool_np(pc.match_substring(text, needle))
-        for needle, _ in sev.PLAIN_NEEDLES
+        _bool_np(pc.match_substring(text, needle)) for needle, _ in needles
     ]
-    names = [name for _, name in sev.PLAIN_NEEDLES]
-    ranks = [sev.RANK[name] for _, name in sev.PLAIN_NEEDLES]
+    names = [name for _, name in needles]
+    ranks = [sev.RANK[name] for _, name in needles]
     name_arr = np.select(conds, names, default=sev.DEFAULT_SEVERITY)
     rank_arr = np.select(conds, ranks, default=sev.RANK[sev.DEFAULT_SEVERITY])
     return (
@@ -53,12 +54,40 @@ def severity_columns(text: pa.Array) -> tuple[pa.Array, pa.Array]:
 
 # --- message -----------------------------------------------------------------
 
-def message_column(text: pa.Array) -> pa.Array:
-    """Text after the first ``": "``, spaces skipped, truncated at first
-    newline; null when no ``": "`` exists. plain.rs:2-23."""
+def message_column(text: pa.Array, fmt: str = "plain") -> pa.Array:
+    """Plain: text after the first ``": "``, spaces skipped, truncated at
+    first newline; null when no ``": "`` exists (plain.rs:2-23). Csv:
+    1-based field 14 of the quote-aware CSV record, outer quotes stripped
+    but escaped quotes left doubled (csv.rs:1-53)."""
     text = _as_array(text)
+    if fmt == "csv":
+        return _csv_message_column(text)
     ext = pc.extract_regex(text, patterns.MESSAGE_PATTERN)
     return pc.struct_field(ext, "m")
+
+
+# field := quoted ("" escapes stay doubled — csv.rs:47-53 strips only the
+# outer quotes) | run of non-comma/quote bytes; 13 fields+commas, then
+# capture field 14.
+_CSV_FIELD = r'(?:"(?:[^"]|"")*"|[^,"]*)'
+_CSV_F14_PATTERN = (
+    "^" + (_CSV_FIELD + ",") * 13 + "(?P<m>" + _CSV_FIELD + ")"
+)
+
+
+def _csv_message_column(text: pa.Array) -> pa.Array:
+    ext = pc.extract_regex(text, _CSV_F14_PATTERN)
+    raw = pc.struct_field(ext, "m")
+    vals = raw.to_numpy(zero_copy_only=False)
+    out = np.array(
+        [
+            v[1:-1] if isinstance(v, str) and len(v) >= 2
+            and v.startswith('"') and v.endswith('"') else v
+            for v in vals
+        ],
+        dtype=object,
+    )
+    return pa.array(out, type=pa.string())
 
 
 # --- duration ----------------------------------------------------------------
@@ -192,7 +221,10 @@ PARSE_GROUPS = {
 
 
 def parse_table(
-    batch: pa.Table, text_col: str = "text", groups: tuple[str, ...] | None = None
+    batch: pa.Table,
+    text_col: str = "text",
+    groups: tuple[str, ...] | None = None,
+    fmt: str = "plain",
 ) -> pa.Table:
     """Append the parsed columns for the requested field groups to ``batch``.
 
@@ -201,18 +233,36 @@ def parse_table(
     reads the input columns it needs) — here we only control which derived
     columns are computed, so a histogram pipeline does not pay for kv
     extraction.
+
+    ``fmt``: "plain" (default), "csv", or "auto" — auto splits the batch on
+    the ``tool`` column ("csv" rows use the csv severity/message kernels;
+    everything else plain), which is how raw-log-ingested datasets carry the
+    reference's per-file Format (format/mod.rs:12-21). Only severity and
+    message are format-sensitive; duration/kv/filters scan the whole record
+    in both formats (duration.rs:5, format/mod.rs:53, filters/*).
     """
     groups = tuple(PARSE_GROUPS) if groups is None else groups
+    if fmt == "auto" and "tool" in batch.column_names:
+        is_csv = pc.fill_null(pc.equal(batch["tool"], "csv"), False)
+        if pc.any(is_csv).as_py():
+            csv_part = parse_table(batch.filter(is_csv), text_col, groups, "csv")
+            plain_part = parse_table(
+                batch.filter(pc.invert(is_csv)), text_col, groups, "plain"
+            )
+            return pa.concat_tables([plain_part, csv_part])
+        fmt = "plain"
+    elif fmt == "auto":
+        fmt = "plain"
     text = _as_array(batch[text_col])
     cols: dict[str, pa.Array] = {}
     need_event = "event" in groups
     if "severity" in groups or need_event:
-        severity_name, rank = severity_columns(text)
+        severity_name, rank = severity_columns(text, fmt)
         if "severity" in groups:
             cols["severity"] = severity_name
             cols["severity_rank"] = rank
     if "message" in groups or need_event:
-        message = message_column(text)
+        message = message_column(text, fmt)
         if "message" in groups:
             cols["message"] = message
     if "duration" in groups:

@@ -47,6 +47,53 @@ def _us(ts: str) -> int:
     return int(pd.Timestamp(ts).value // 1000)
 
 
+# --- generic record pipeline (the CLI's `output_results` equivalent) --------
+
+def records(
+    sf_dir: str,
+    min_rank: int = ERROR_RANK,
+    mask: str | None = None,
+    begin: str | None = None,
+    end: str | None = None,
+    feature: str | None = None,  # "is_lock" / "is_system"
+    keep: tuple[str, ...] = ("conv_id", "turn_idx", "severity", "text"),
+    fmt: str = "auto",  # csv rows (tool=="csv" from raw-log ingest) use
+                        # csv severity/message kernels; others plain
+) -> Dataset:
+    """Filtered record stream with the reference's predicate chain order
+    (mask → severity → time → custom; output_results/mod.rs:157-191)."""
+    cols = ["conv_id", "turn_idx", "text"]
+    if begin or end or "ts" in keep:
+        cols.append("ts")
+    if fmt == "auto":
+        cols.append("tool")
+    groups = ["severity"]
+    if feature == "is_lock":
+        groups.append("locks")
+    elif feature == "is_system":
+        groups.append("system")
+    if "message" in keep:
+        groups.append("message")
+    if "duration_ms" in keep:
+        groups.append("duration")
+    ds = read_transcripts(sf_dir, columns=cols)
+    return ds.map_batches(
+        parse_filter_project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(
+            groups=tuple(groups),
+            contains=mask,
+            min_rank=min_rank,
+            begin_us=_us(begin) if begin else None,
+            end_us=_us(end) if end else None,
+            require=((feature, None),) if feature else (),
+            keep=keep,
+            fmt=fmt,
+        ),
+    )
+
+
 # --- errors ------------------------------------------------------------------
 
 def errors_list(sf_dir: str, min_rank: int = ERROR_RANK) -> Dataset:
@@ -250,7 +297,7 @@ def connections_summary(sf_dir: str) -> pd.DataFrame:
     attempts (`connection received:`), authenticated (`connection
     authorized:`), SSL-authenticated, failures (FATAL + auth-failure
     needles). int64 (the reference's u16 overflows at 65k; SURVEY §7.4)."""
-    ds = read_transcripts(sf_dir, columns=["text"])
+    ds = read_transcripts(sf_dir, columns=["text", "tool"])
     partials = ds.map_batches(
         _conn_summary_partial, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -261,7 +308,8 @@ def connections_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def _conn_summary_partial(batch: pa.Table) -> pa.Table:
-    batch = parse_table(batch, groups=("severity", "message", "event"))
+    batch = parse_table(batch, groups=("severity", "message", "event"),
+                        fmt="auto")
     ev = batch["event"]
 
     def n(mask):
@@ -281,7 +329,7 @@ def _conn_summary_partial(batch: pa.Table) -> pa.Table:
 
 
 def _conn_grouped(sf_dir: str, event: str, key: str) -> Dataset:
-    ds = read_transcripts(sf_dir, columns=["text"])
+    ds = read_transcripts(sf_dir, columns=["text", "tool"])
     rows = ds.map_batches(
         _conn_key_rows, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"event": event, "key": key},
@@ -290,7 +338,8 @@ def _conn_grouped(sf_dir: str, event: str, key: str) -> Dataset:
 
 
 def _conn_key_rows(batch: pa.Table, event: str, key: str) -> pa.Table:
-    batch = parse_table(batch, groups=("severity", "message", "event", "kv"))
+    batch = parse_table(batch, groups=("severity", "message", "event", "kv"),
+                        fmt="auto")
     mask = pc.fill_null(pc.equal(batch["event"], event), False)
     kept = batch.filter(mask)
     # missing kv → "unknown" (connections.rs:65,85-97)
@@ -316,7 +365,7 @@ def connections_by_appname(sf_dir: str) -> Dataset:
 
 def connections_by_bucket(sf_dir: str, width_s: int = CONN_BUCKET_S) -> Dataset:
     """Attempts per 10-min bucket (connections.rs:71-77,189-227)."""
-    ds = read_transcripts(sf_dir, columns=["text", "ts"])
+    ds = read_transcripts(sf_dir, columns=["text", "tool", "ts"])
     rows = ds.map_batches(
         _conn_bucket_rows, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"width_s": width_s},
@@ -325,7 +374,8 @@ def connections_by_bucket(sf_dir: str, width_s: int = CONN_BUCKET_S) -> Dataset:
 
 
 def _conn_bucket_rows(batch: pa.Table, width_s: int) -> pa.Table:
-    batch = parse_table(batch, groups=("severity", "message", "event"))
+    batch = parse_table(batch, groups=("severity", "message", "event"),
+                        fmt="auto")
     mask = pc.fill_null(pc.equal(batch["event"], "received"), False)
     kept = batch.filter(mask)
     return add_bucket(kept, width_s).select(["bucket_ts"])

@@ -443,10 +443,56 @@ def hash_stable(s: str) -> int:
     return h
 
 
+RAW_LOG_SUFFIXES = {".log", ".csv", ".gz", ".zip"}
+
+
+def raw_log_paths(sf_dir: str | Path) -> list[str]:
+    """Raw pgweasel-style inputs (log/csv/gz/zip file, or a dir of them)."""
+    p = Path(sf_dir)
+    if p.is_file() and p.suffix.lower() in RAW_LOG_SUFFIXES:
+        return [str(p)]
+    if p.is_dir():
+        files = sorted(
+            str(f) for f in p.iterdir()
+            if f.is_file() and f.suffix.lower() in RAW_LOG_SUFFIXES
+        )
+        if files and not list(p.glob("*.parquet")):
+            return files
+    return []
+
+
+def resolve_input(sf_dir: str | Path) -> Path | None:
+    """A real transcripts parquet dir/file (schema carries ``conv_id``) is
+    used as-is; raw log inputs return None (callers go through the rawlog
+    ingester); anything else (driver sf dirs, phantom paths) maps to the
+    deterministic fixture for that name."""
+    p = Path(sf_dir)
+    candidates = []
+    if p.is_file() and p.suffix.lower() == ".parquet":
+        candidates = [p]
+    elif p.is_dir():
+        candidates = sorted(p.glob("*.parquet"))
+    if candidates:
+        import pyarrow.parquet as pq
+
+        if "conv_id" in pq.read_schema(candidates[0]).names:
+            return p
+    if raw_log_paths(sf_dir):
+        return None
+    return ensure_fixture(sf_dir)
+
+
 def read_transcripts(sf_dir: str | Path, columns: list[str] | None = None):
-    """ray.data.read_parquet over the fixture with column pruning. The read
-    is the place to prune: a histogram pipeline reads only (text, ts)."""
+    """ray.data.read_parquet over the transcripts input with column pruning
+    (the read is the place to prune: a histogram pipeline reads only
+    (text, ts)). Raw pgweasel log inputs (.log/.csv/.gz/.zip) are ingested
+    on the fly into the same transcript schema."""
     import ray.data
 
-    path = ensure_fixture(sf_dir)
-    return ray.data.read_parquet(str(path), columns=columns)
+    resolved = resolve_input(sf_dir)
+    if resolved is None:
+        from .rawlog import read_raw_logs
+
+        ds = read_raw_logs(raw_log_paths(sf_dir))
+        return ds.select_columns(columns) if columns else ds
+    return ray.data.read_parquet(str(resolved), columns=columns)

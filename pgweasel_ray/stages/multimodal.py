@@ -1,0 +1,143 @@
+"""Multimodal column stages — image/audio as opaque binary + typed metadata.
+
+The decode kernels themselves are STUBS (no image/audio libraries in this
+container): each stage tries the real library at actor init and otherwise
+falls back to a deterministic fake codec, clearly marked. What IS real and
+tested is the Ray-side plumbing the 100 TB design needs: binary columns
+travel as Arrow ``binary`` (never pandas object dtype), stages are
+actor-pool ``map_batches`` callables with per-actor init, batch sizes stay
+small because each row is large, and outputs keep (id, metadata, payload)
+columns so downstream stages compose.
+
+Fake payload format (for fixtures/tests):
+    b"FAKEIMG" + height:uint16 + width:uint16 + channels:uint8 + pixel bytes
+    b"FAKEAUD" + sample_rate:uint32 + n_samples:uint32 + int16 samples
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+IMG_MAGIC = b"FAKEIMG"
+AUD_MAGIC = b"FAKEAUD"
+
+
+def fake_image(height: int, width: int, channels: int = 3, seed: int = 0) -> bytes:
+    rng = np.random.default_rng(seed)
+    pixels = rng.integers(0, 256, height * width * channels, dtype=np.uint8)
+    return IMG_MAGIC + struct.pack("<HHB", height, width, channels) + pixels.tobytes()
+
+
+def fake_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-(2**15), 2**15, n_samples, dtype=np.int16)
+    return AUD_MAGIC + struct.pack("<II", sample_rate, n_samples) + samples.tobytes()
+
+
+class ImageDecodeStage:
+    """binary image column → (height, width, channels, mean_intensity).
+
+    Real path (``pillow`` present) decodes actual images; otherwise the
+    deterministic fake codec parses the FAKEIMG header. Use
+    ``batch_size≈64`` and ``concurrency=(n, m)``: rows are megabytes, so a
+    batch × pool must fit worker heaps (SURVEY §4 memory note).
+    """
+
+    def __init__(self, image_col: str = "image"):
+        self.image_col = image_col
+        try:  # pragma: no cover - library absent in this container
+            from PIL import Image  # noqa: F401
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def _decode(self, data: bytes) -> tuple[int, int, int, float]:
+        if data[: len(IMG_MAGIC)] == IMG_MAGIC:
+            h, w, c = struct.unpack_from("<HHB", data, len(IMG_MAGIC))
+            px = np.frombuffer(data, dtype=np.uint8,
+                               offset=len(IMG_MAGIC) + 5, count=h * w * c)
+            return h, w, c, float(px.mean())
+        if self._pil is not None:  # pragma: no cover
+            import io
+
+            img = self._pil.open(io.BytesIO(data))
+            arr = np.asarray(img)
+            return arr.shape[0], arr.shape[1], (arr.shape[2] if arr.ndim == 3 else 1), float(arr.mean())
+        raise NotImplementedError(
+            "real image decoding requires pillow; payload is not FAKEIMG"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = [self._decode(v) for v in batch[self.image_col].to_pylist()]
+        h, w, c, m = zip(*vals) if vals else ((), (), (), ())
+        batch = batch.drop_columns([self.image_col])
+        return (
+            batch.append_column("height", pa.array(h, type=pa.int32()))
+            .append_column("width", pa.array(w, type=pa.int32()))
+            .append_column("channels", pa.array(c, type=pa.int32()))
+            .append_column("mean_intensity", pa.array(m, type=pa.float64()))
+        )
+
+
+class ImageResizeStage:
+    """binary image → binary image at (target_h, target_w). Fake codec does
+    nearest-neighbour on the FAKEIMG pixel grid — deterministic, so the
+    output bytes are testable."""
+
+    def __init__(self, target_h: int, target_w: int, image_col: str = "image"):
+        self.th, self.tw, self.image_col = target_h, target_w, image_col
+
+    def _resize(self, data: bytes) -> bytes:
+        if data[: len(IMG_MAGIC)] != IMG_MAGIC:
+            raise NotImplementedError("real resize requires pillow")
+        h, w, c = struct.unpack_from("<HHB", data, len(IMG_MAGIC))
+        px = np.frombuffer(data, dtype=np.uint8,
+                           offset=len(IMG_MAGIC) + 5).reshape(h, w, c)
+        ri = (np.arange(self.th) * h // self.th)
+        ci = (np.arange(self.tw) * w // self.tw)
+        out = px[ri][:, ci]
+        return (IMG_MAGIC + struct.pack("<HHB", self.th, self.tw, c)
+                + out.tobytes())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        resized = [self._resize(v) for v in batch[self.image_col].to_pylist()]
+        idx = batch.schema.get_field_index(self.image_col)
+        return batch.set_column(
+            idx, self.image_col, pa.array(resized, type=pa.binary())
+        )
+
+
+class AudioFrameStage:
+    """binary audio → fixed-length frame features: split int16 samples into
+    ``frame_len`` windows, emit per-row (n_frames, rms list<float32>)."""
+
+    def __init__(self, frame_len: int = 1024, audio_col: str = "audio"):
+        self.frame_len, self.audio_col = frame_len, audio_col
+
+    def _frames(self, data: bytes) -> np.ndarray:
+        if data[: len(AUD_MAGIC)] != AUD_MAGIC:
+            raise NotImplementedError("real audio decode requires soundfile")
+        rate, n = struct.unpack_from("<II", data, len(AUD_MAGIC))
+        samples = np.frombuffer(data, dtype=np.int16,
+                                offset=len(AUD_MAGIC) + 8, count=n)
+        usable = (len(samples) // self.frame_len) * self.frame_len
+        if usable == 0:
+            return np.zeros(0, dtype=np.float32)
+        frames = samples[:usable].reshape(-1, self.frame_len).astype(np.float64)
+        return np.sqrt((frames**2).mean(axis=1)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rms = [self._frames(v) for v in batch[self.audio_col].to_pylist()]
+        batch = batch.drop_columns([self.audio_col])
+        return (
+            batch.append_column(
+                "n_frames", pa.array([len(r) for r in rms], type=pa.int32())
+            ).append_column(
+                "frame_rms",
+                pa.array([r.tolist() for r in rms], type=pa.list_(pa.float32())),
+            )
+        )

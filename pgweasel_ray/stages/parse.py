@@ -23,8 +23,9 @@ def parse_batch(
     batch: pa.Table,
     groups: tuple[str, ...] | None = None,
     text_col: str = "text",
+    fmt: str = "plain",
 ) -> pa.Table:
-    return parse_table(batch, text_col=text_col, groups=groups)
+    return parse_table(batch, text_col=text_col, groups=groups, fmt=fmt)
 
 
 def parse_filter_project(
@@ -36,6 +37,7 @@ def parse_filter_project(
     begin_us: int | None = None,
     end_us: int | None = None,
     keep: tuple[str, ...] | None = None,
+    fmt: str = "plain",
 ) -> pa.Table:
     """Parse + predicate chain + projection in ONE pass over the batch.
 
@@ -49,7 +51,7 @@ def parse_filter_project(
     columns (e.g. (("event", "received"),)); ``keep`` is the output
     projection.
     """
-    batch = parse_table(batch, text_col="text", groups=groups)
+    batch = parse_table(batch, text_col="text", groups=groups, fmt=fmt)
     mask = pc.cast(pa.array([True] * batch.num_rows), pa.bool_())
     if contains is not None:
         mask = pc.and_(mask, pc.match_substring(batch["text"], contains))

@@ -1,0 +1,201 @@
+"""Conformance against the reference's OWN integration-test corpus: raw log
+files from /root/reference/tests/files are ingested through the raw-log
+source and every expected output the reference's tests assert
+(tests/errors.rs, slow.rs, connections.rs, locks.rs, system.rs) is asserted
+here against OUR pipelines — including exact rendered report lines."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+REF = Path("/root/reference/tests/files")
+pytestmark = pytest.mark.skipif(
+    not REF.exists(), reason="reference corpus not available"
+)
+
+
+@pytest.fixture(scope="module")
+def ingested(tmp_path_factory):
+    """All reference test files ingested into one transcripts parquet dir
+    (conv_id = file stem)."""
+    from pgweasel_ray.sources.rawlog import ingest_to_transcripts
+
+    out = tmp_path_factory.mktemp("reflogs")
+    files = sorted(str(p) for p in REF.iterdir() if p.is_file())
+    ingest_to_transcripts(files, str(out))
+    return str(out)
+
+
+def _records(ingested, conv, **kw):
+    from pgweasel_ray.pipelines.core import records
+
+    ds = records(ingested, fmt="auto", **kw)
+    df = ds.to_pandas()
+    return df[df["conv_id"] == conv]
+
+
+class TestErrors:
+    def test_csvlog_error(self, ingested):
+        # tests/errors.rs:9-18
+        df = _records(ingested, "csvlog1")
+        assert df["text"].str.contains("2025-05-08 12:24:37.731 EEST").any()
+
+    def test_plain_error(self, ingested):
+        # tests/errors.rs:20-30
+        df = _records(ingested, "debian_default2")
+        assert df["text"].str.contains("2025-05-22 15:15:09.392").any()
+
+    def test_multiline_csv_error(self, ingested):
+        # tests/errors.rs:32-42
+        df = _records(ingested, "multiple_lines")
+        assert df["text"].str.contains("2025-12-15 12:41:20.659").any()
+
+    def test_begin_end_window(self, ingested):
+        # tests/errors.rs:66-84 (absolute -b/-e window)
+        df = _records(
+            ingested, "csvlog1",
+            begin="2025-05-08 12:24:37.000", end="2025-05-08 12:24:37.999",
+        )
+        assert df["text"].str.contains("2025-05-08 12:24:37.731 EEST").all()
+        assert len(df) > 0
+
+    def test_mask(self, ingested):
+        # tests/errors.rs:87-101
+        df = _records(ingested, "csvlog1", mask="2025-05-08 12:24:37")
+        assert len(df) > 0
+        assert df["text"].str.contains("2025-05-08 12:24:37").all()
+
+    def test_top_messages(self, ingested):
+        # tests/errors.rs:113-126 and the exact "8  new row for relation"
+        # count at :154-170
+        from pgweasel_ray.functions.render import render_frequency
+        from pgweasel_ray.pipelines.common import grouped_count
+        from pgweasel_ray.pipelines.core import records
+
+        ds = records(ingested, fmt="auto", keep=("conv_id", "message"))
+        df = ds.to_pandas()
+        df = df[(df["conv_id"] == "debian_default2") & df["message"].notna()]
+        counts = (
+            df.groupby("message").size().reset_index(name="cnt")
+            .sort_values(["cnt", "message"], ascending=[False, True])
+        )
+        out = render_frequency(counts.head(20), "message")
+        assert (
+            'new row for relation "pgbench_accounts" violates check '
+            'constraint "posbal"' in out
+        )
+        assert "8  new row for relation" in out
+
+    def test_hist_exact_bar(self, ingested):
+        # tests/errors.rs:172-192: 1-second buckets at floor debug5 render
+        # "[2025-05-22 15:18:10] ###...(34#)---(16-) 11"
+        from pgweasel_ray.functions.render import render_histogram
+        from pgweasel_ray.pipelines.common import grouped_count
+        from pgweasel_ray.pipelines.core import records
+        from pgweasel_ray.stages.parse import add_bucket
+
+        ds = records(ingested, min_rank=0, fmt="auto",
+                     keep=("conv_id", "ts"))
+        bucketed = ds.map_batches(
+            add_bucket, batch_format="pyarrow", fn_kwargs={"width_s": 1}
+        )
+        df = bucketed.to_pandas()
+        df = df[df["conv_id"] == "debian_default2"]
+        counts = (
+            df.groupby("bucket_ts").size().reset_index(name="cnt")
+            .sort_values("bucket_ts")
+        )
+        out = render_histogram(counts)
+        assert (
+            "[2025-05-22 15:18:10] "
+            "##################################---------------- 11" in out
+        )
+
+
+class TestSlow:
+    def test_csv_slow_filter(self, ingested):
+        # tests/slow.rs:7-16 (1 s threshold on csvlog_pg14)
+        df = _records(
+            ingested, "csvlog_pg14", min_rank=5,
+            keep=("conv_id", "duration_ms", "text"),
+        )
+        df = df[df["duration_ms"] > 1000.0]
+        assert df["text"].str.contains("duration: 2722.543 ms").any()
+
+    def test_log_slow_filter(self, ingested):
+        # tests/slow.rs:18-27 (25 ms threshold on duration.log)
+        df = _records(
+            ingested, "duration", min_rank=5,
+            keep=("conv_id", "duration_ms", "text"),
+        )
+        df = df[df["duration_ms"] > 25.0]
+        assert df["text"].str.contains("statement: WITH RECURSIVE").any()
+
+    def test_top_slow_separator(self, ingested):
+        # tests/slow.rs:29-38: exact "--- 25.761ms ---"
+        from pgweasel_ray.functions.render import render_top_slow
+
+        df = _records(
+            ingested, "duration", min_rank=5,
+            keep=("conv_id", "turn_idx", "duration_ms", "text"),
+        )
+        df = df[df["duration_ms"].notna()].sort_values(
+            ["duration_ms", "conv_id", "turn_idx"],
+            ascending=[False, True, True],
+        ).head(10)
+        out = render_top_slow(df)
+        assert "--- 25.761ms ---" in out
+
+    def test_top_slow_with_mask(self, ingested):
+        # tests/slow.rs:40-57: mask composes with slow top
+        df = _records(
+            ingested, "duration", min_rank=5, mask="2025-05-21 11:00:40",
+            keep=("conv_id", "duration_ms", "text"),
+        )
+        df = df[df["duration_ms"].notna()]
+        assert not df["text"].str.contains("025-05-21 11:01:10").any()
+
+
+class TestConnections:
+    def test_azure_bucket_count(self, ingested):
+        # tests/connections.rs:6-15: "5  2025-05-21 11:00:00" (10-min bucket)
+        from pgweasel_ray.kernels import parse_table
+        from pgweasel_ray.sources.rawlog import read_raw_logs
+        from pgweasel_ray.stages.parse import add_bucket
+
+        ds = read_raw_logs(str(REF / "azure_connections.log"))
+        parsed = ds.map_batches(
+            parse_table, batch_format="pyarrow",
+            fn_kwargs={"groups": ("severity", "message", "event"),
+                       "fmt": "auto"},
+        )
+        df = add_bucket_df(parsed, 600)
+        received = df[df["event"] == "received"]
+        counts = received.groupby("bucket_ts").size()
+        assert counts.loc[pd.Timestamp("2025-05-21 11:00:00")] == 5
+
+
+def add_bucket_df(ds, width_s):
+    from pgweasel_ray.stages.parse import add_bucket
+
+    return ds.map_batches(
+        add_bucket, batch_format="pyarrow", fn_kwargs={"width_s": width_s}
+    ).to_pandas()
+
+
+class TestLocksSystem:
+    def test_locks(self, ingested):
+        # tests/locks.rs:6-15
+        df = _records(ingested, "locking", min_rank=5, feature="is_lock")
+        assert df["text"].str.contains("2025-06-03 12:46:07.925").any()
+
+    def test_system(self, ingested):
+        # tests/system.rs:7-17
+        df = _records(ingested, "system_test", min_rank=5,
+                      feature="is_system")
+        joined = "\n".join(df["text"])
+        assert "listening" in joined
+        assert "was shut down" in joined

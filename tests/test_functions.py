@@ -1,0 +1,197 @@
+"""Unit tests: time/interval parsing (util.rs:203-306 vectors), renderers,
+raw-log record splitting, multimodal stage plumbing."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pgweasel_ray.functions.timeparse import TimeParseError, parse_time_or_interval
+
+
+class TestTimeParse:
+    REF = pd.Timestamp("2025-09-19 15:30:00")
+
+    def test_today(self):
+        # util.rs:207-216
+        got = parse_time_or_interval("today", self.REF)
+        assert got == pd.Timestamp("2025-09-19 00:00:00")
+
+    def test_intervals_past(self):
+        # util.rs:219-236: positive interval means "ago"
+        assert parse_time_or_interval("10m", self.REF) == self.REF - pd.Timedelta(minutes=10)
+        assert parse_time_or_interval("2h", self.REF) == self.REF - pd.Timedelta(hours=2)
+        assert parse_time_or_interval("1d", self.REF) == self.REF - pd.Timedelta(hours=24)
+
+    def test_intervals_extended(self):
+        # util.rs:239-255
+        assert parse_time_or_interval("10min", self.REF) == self.REF - pd.Timedelta(minutes=10)
+        assert parse_time_or_interval("5minutes", self.REF) == self.REF - pd.Timedelta(minutes=5)
+        assert parse_time_or_interval("2hours", self.REF) == self.REF - pd.Timedelta(hours=2)
+
+    def test_negative_interval_is_future(self):
+        # util.rs:258-265
+        assert parse_time_or_interval("-10m", self.REF) == self.REF + pd.Timedelta(minutes=10)
+
+    def test_date_only(self):
+        # util.rs:268-275
+        assert parse_time_or_interval("2025-09-19", self.REF) == pd.Timestamp("2025-09-19")
+
+    def test_full_timestamp(self):
+        # util.rs:278-285
+        assert parse_time_or_interval("2025-09-19 15:30:00", None) == pd.Timestamp(
+            "2025-09-19 15:30:00"
+        )
+        assert parse_time_or_interval("2025-09-19T15:30:00", None) == pd.Timestamp(
+            "2025-09-19 15:30:00"
+        )
+
+    def test_invalid(self):
+        # util.rs:288-294
+        with pytest.raises(TimeParseError):
+            parse_time_or_interval("invalid", None)
+        with pytest.raises(TimeParseError):
+            parse_time_or_interval("", None)
+
+
+class TestRawlogSplit:
+    def test_record_start_vector(self):
+        # output_results/mod.rs:238-241
+        from pgweasel_ray.sources.rawlog import is_record_start
+
+        assert is_record_start(
+            b"2025-05-21 11:01:20 UTC-682db26c.535-LOG:  disconnection: "
+            b"session time: 0:00:20.034 user=azuresu"
+        )
+        assert is_record_start(b"2025-05-21 11:01:20.123 UTC x y z 0123")
+        assert not is_record_start(b"DETAIL:  continuation line")
+        assert not is_record_start(b"short")
+
+    def test_multiline_accumulation(self):
+        from pgweasel_ray.sources.rawlog import split_records
+
+        content = (
+            b"2025-01-01 10:00:00.000 UTC [1] ERROR:  first\n"
+            b"DETAIL:  detail line\n"
+            b"STATEMENT:  select 1\n"
+            b"2025-01-01 10:00:01.000 UTC [1] LOG:  second\n"
+        )
+        recs = split_records(content)
+        assert len(recs) == 2
+        assert recs[0].endswith(b"STATEMENT:  select 1")
+        assert recs[1].startswith(b"2025-01-01 10:00:01")
+
+    def test_gz_roundtrip(self, tmp_path):
+        import gzip
+
+        from pgweasel_ray.sources.rawlog import read_raw_logs
+
+        raw = (tmp_path / "x.log.gz")
+        raw.write_bytes(gzip.compress(
+            b"2025-01-01 10:00:00.000 UTC [1] ERROR:  boom\n"
+        ))
+        df = read_raw_logs(str(raw)).to_pandas()
+        assert len(df) == 1
+        assert df["text"].iloc[0].endswith("ERROR:  boom")
+        assert df["ts"].iloc[0] == pd.Timestamp("2025-01-01 10:00:00")
+        assert df["tool"].iloc[0] == "plain"
+
+
+class TestCsvKernels:
+    def test_csv_severity(self):
+        from pgweasel_ray.kernels import severity_columns
+
+        names, ranks = severity_columns(
+            pa.array([
+                'a,b,ERROR,c', 'x,LOG,y', 'no needles here',
+                # severity.rs:214-219 vector
+                '"2025-05-08 12:24:37.731 EEST","krl","postgres",166063,'
+                '"127.0.0.1:33584",681c7855.288af,1,"INSERT",'
+                '2025-05-08 12:24:37 EEST,3/2,770,ERROR,23503,"insert..."',
+            ]),
+            fmt="csv",
+        )
+        assert names.to_pylist() == ["error", "log", "log", "error"]
+
+    def test_csv_message_field14(self):
+        # csv.rs:60-69 vector
+        from pgweasel_ray.kernels import message_column
+
+        line = (
+            '2025-12-01 01:56:57.080 EET,,,1637804,"10.203.8.108:53096",'
+            '692cd9c9.18fdac,1,"",2025-12-01 01:56:57 EET,,0,LOG,00000,'
+            '"connection received: host=10.203.8.108 port=53096",,,,,,,,,'
+            '"","not initialized",,0'
+        )
+        got = message_column(pa.array([line, "too,few,fields"]), fmt="csv")
+        assert got.to_pylist()[0] == (
+            "connection received: host=10.203.8.108 port=53096"
+        )
+        assert got.to_pylist()[1] is None
+
+
+class TestMultimodal:
+    def test_image_decode_and_resize(self):
+        from pgweasel_ray.stages.multimodal import (
+            ImageDecodeStage, ImageResizeStage, fake_image,
+        )
+
+        batch = pa.table({
+            "id": pa.array([1, 2], type=pa.int64()),
+            "image": pa.array(
+                [fake_image(8, 6, 3, seed=1), fake_image(4, 4, 1, seed=2)],
+                type=pa.binary(),
+            ),
+        })
+        resized = ImageResizeStage(4, 3)(batch)
+        decoded = ImageDecodeStage()(resized)
+        assert decoded.column_names == [
+            "id", "height", "width", "channels", "mean_intensity",
+        ]
+        assert decoded["height"].to_pylist() == [4, 4]
+        assert decoded["width"].to_pylist() == [3, 3]
+        assert decoded["channels"].to_pylist() == [3, 1]
+
+    def test_audio_frames(self):
+        from pgweasel_ray.stages.multimodal import AudioFrameStage, fake_audio
+
+        batch = pa.table({
+            "id": pa.array([1], type=pa.int64()),
+            "audio": pa.array([fake_audio(16000, 4096, seed=3)],
+                              type=pa.binary()),
+        })
+        out = AudioFrameStage(frame_len=1024)(batch)
+        assert out["n_frames"].to_pylist() == [4]
+        assert len(out["frame_rms"].to_pylist()[0]) == 4
+
+    def test_decode_unknown_payload_raises(self):
+        from pgweasel_ray.stages.multimodal import ImageDecodeStage
+
+        stage = ImageDecodeStage()
+        if stage._pil is None:
+            batch = pa.table({"image": pa.array([b"JUNK"], type=pa.binary())})
+            with pytest.raises(NotImplementedError):
+                stage(batch)
+
+    def test_stage_in_ray_pipeline(self, tmp_path):
+        """The actor-pool plumbing: binary column survives the object store,
+        stage runs as a pool with small batches."""
+        import ray.data
+
+        from pgweasel_ray.stages.multimodal import ImageDecodeStage, fake_image
+
+        t = pa.table({
+            "id": pa.array(range(32), type=pa.int64()),
+            "image": pa.array(
+                [fake_image(16, 16, 3, seed=i) for i in range(32)],
+                type=pa.binary(),
+            ),
+        })
+        ds = ray.data.from_arrow(t).map_batches(
+            ImageDecodeStage, batch_format="pyarrow", batch_size=8,
+            concurrency=2,
+        )
+        df = ds.to_pandas()
+        assert len(df) == 32
+        assert (df["height"] == 16).all()
