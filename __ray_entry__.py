@@ -55,8 +55,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connections_by_db": core.connections_by_db,
         "connections_by_appname": core.connections_by_appname,
         "connections_by_bucket": core.connections_by_bucket,
+        "errors_by_sqlstate": core.errors_by_sqlstate,
+        "disconnections_by_host": core.disconnections_by_host,
         # north_star additions
         "sessions": core.sessions,
+        "sessions_top_errors": core.sessions_top_errors,
         "enriched_severity_counts": core.enriched_severity_counts,
         "routed_counts": router.routed_counts,
         # aggregate layer over the native events table
@@ -66,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops (documents / embeddings)
         "dedup_exact": dataprep.dedup_exact,
         "dedup_minhash": dataprep.dedup_minhash,          # rows-only
+        "dedup_ngram_jaccard": dataprep.dedup_ngram_jaccard,  # rows-only
         "dedup_simhash": dataprep.dedup_simhash,          # rows-only
         "docs_token_stats": dataprep.docs_token_stats,
         "docs_quality": dataprep.docs_quality,

@@ -10,9 +10,11 @@ are asserted in tests/ instead.
 
 from __future__ import annotations
 
-from . import oracle
+from . import oracle, patterns
 from .pipelines import core
 from .sources.transcripts import ensure_fixture, lookup_path, transcripts_glob
+
+_SQLSTATE = patterns.SQLSTATE_PATTERN
 
 
 def build_oracles(sf_dir: str) -> dict[str, str]:
@@ -83,6 +85,20 @@ WHERE event = 'authorized' GROUP BY 1""",
         "connections_by_bucket": f"""{cte}
 SELECT {b10} AS bucket_ts, count(*) AS cnt FROM parsed
 WHERE event = 'received' GROUP BY bucket_ts ORDER BY bucket_ts""",
+        "errors_by_sqlstate": f"""{cte}
+SELECT regexp_extract(text, '{_SQLSTATE}', 1) AS sqlstate, count(*) AS cnt
+FROM parsed
+WHERE severity_rank >= {core.ERROR_RANK}
+  AND regexp_matches(text, '{_SQLSTATE}')
+GROUP BY 1""",
+        "disconnections_by_host": f"""{cte}
+SELECT coalesce(host, 'unknown') AS host, count(*) AS cnt FROM parsed
+WHERE event = 'disconnection' GROUP BY 1""",
+        "sessions_top_errors": f"""{cte}
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN severity_rank >= {core.ERROR_RANK} THEN 1 ELSE 0 END)::BIGINT AS n_errors
+FROM parsed GROUP BY conv_id
+ORDER BY n_errors DESC, conv_id LIMIT 10""",
         "sessions": f"""{cte}
 SELECT conv_id,
        count(*)::BIGINT AS n_turns,

@@ -381,6 +381,34 @@ def _conn_bucket_rows(batch: pa.Table, width_s: int) -> pa.Table:
     return add_bucket(kept, width_s).select(["bucket_ts"])
 
 
+def errors_by_sqlstate(sf_dir: str) -> Dataset:
+    """Error records grouped by their SQLSTATE-like code (our M-extra
+    extractor; codes echo csvlog's SQLSTATE column — north_star)."""
+    ds = read_transcripts(sf_dir, columns=["text"])
+    rows = ds.map_batches(
+        parse_filter_project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(
+            groups=("severity", "sqlstate"),
+            min_rank=ERROR_RANK,
+            keep=("sqlstate",),
+        ),
+    ).map_batches(_drop_null_sqlstates, batch_format="pyarrow",
+                  zero_copy_batch=True)
+    return grouped_count(rows, ["sqlstate"])
+
+
+def _drop_null_sqlstates(batch: pa.Table) -> pa.Table:
+    return batch.filter(pc.is_valid(batch["sqlstate"]))
+
+
+def disconnections_by_host(sf_dir: str) -> Dataset:
+    """Disconnection events (our extension of A4's event taxonomy) grouped
+    by host=."""
+    return _conn_grouped(sf_dir, "disconnection", "host")
+
+
 # --- sessions (new per north_star) ------------------------------------------
 
 def sessions(sf_dir: str) -> Dataset:
@@ -420,6 +448,13 @@ def _session_fn(df: pd.DataFrame) -> pd.DataFrame:
             }
         ]
     )
+
+
+def sessions_top_errors(sf_dir: str, k: int = 10) -> Dataset:
+    """Top-k conversations by error count (session reconstruction feeding a
+    distributed top-k; ties broken by conv_id)."""
+    s = sessions(sf_dir).select_columns(["conv_id", "n_turns", "n_errors"])
+    return s.sort(["n_errors", "conv_id"], descending=[True, False]).limit(k)
 
 
 # --- enrich (new per north_star) --------------------------------------------

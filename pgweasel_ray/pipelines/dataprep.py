@@ -301,6 +301,61 @@ def dedup_minhash(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": out})
 
 
+def _emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs (a < b) within one LSH band bucket."""
+    ids = sorted(set(df["doc_id"]))
+    if len(ids) < 2:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+    return pd.DataFrame(
+        [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))],
+        columns=["a", "b"],
+    )
+
+
+def _word_ngrams(text: str, n: int) -> set[str]:
+    words = text.lower().split()
+    if len(words) < n:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def dedup_ngram_jaccard(sf_dir: str, n: int = MH_SHINGLE,
+                        threshold: float = 0.7) -> pd.DataFrame:
+    """Verified near-dup removal: MinHash-LSH proposes candidate pairs, the
+    exact word-n-gram Jaccard similarity verifies them; a doc is dropped iff
+    J(doc, smaller-id doc) ≥ threshold for some verified pair. (The verify
+    step is what plain LSH dedup lacks — no false-positive drops.)
+
+    Scale path: the verification join ships candidate pairs (two int64s) to
+    a hash-bucket join against the documents table keyed by doc_id; here the
+    candidate set is collected and verified driver-side."""
+    band_rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        MinHashBandStage, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
+        _emit_pairs, batch_format="pandas"
+    ).to_pandas().drop_duplicates()
+    all_docs = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
+    texts = dict(zip(all_docs["doc_id"], all_docs["text"]))
+    grams: dict[int, set[str]] = {}
+
+    def g(i: int) -> set[str]:
+        if i not in grams:
+            grams[i] = _word_ngrams(texts[i], n)
+        return grams[i]
+
+    dropped: set[int] = set()
+    for a, b in sorted(zip(pairs["a"], pairs["b"])):
+        ga, gb = g(int(a)), g(int(b))
+        union = len(ga | gb)
+        if union and len(ga & gb) / union >= threshold:
+            dropped.add(int(b))
+    out = all_docs["doc_id"][~all_docs["doc_id"].isin(dropped)]
+    return pd.DataFrame({"doc_id": out.sort_values().reset_index(drop=True)})
+
+
 # --- SimHash near-dup --------------------------------------------------------
 
 SH_BANDS = 4  # 4 × 16-bit bands → catches hamming distance ≤ 3

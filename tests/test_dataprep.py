@@ -59,6 +59,11 @@ def test_dedup_minhash_removes_near_dups(crafted_dir):
     assert 2 not in got  # one-word change shares most shingles → LSH-caught
 
 
+def test_dedup_ngram_jaccard_verified(crafted_dir):
+    got = sorted(dataprep.dedup_ngram_jaccard(crafted_dir)["doc_id"])
+    assert got == [0, 3, 4]  # 1 exact dup (J=1), 2 one-word change (J≥0.7)
+
+
 def test_dedup_simhash_removes_near_dups(crafted_dir):
     got = sorted(dataprep.dedup_simhash(crafted_dir)["doc_id"])
     assert 1 not in got and 2 not in got
