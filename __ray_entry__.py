@@ -32,7 +32,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from pgweasel_ray.pipelines import core, dataprep, events, router
+    from pgweasel_ray.pipelines import core, dataprep, events, router, windows
 
     return {
         # pgweasel parity — errors family (SURVEY §2.3 F1, §2.4 A1/A2, §3.1)
@@ -66,12 +66,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_per_hour": events.events_per_hour,
         "events_top_types": events.events_top_types,
         "events_value_range": events.events_value_range,
+        # windows / joins / reference-stub commands made real
+        "events_user_sessions": windows.events_user_sessions,
+        "events_by_segment": windows.events_by_segment,
+        "flagged_conv_turns": windows.flagged_conv_turns,
+        "peaks": windows.peaks,
+        "stats": windows.stats,
         # training-data ops (documents / embeddings)
         "dedup_exact": dataprep.dedup_exact,
         "dedup_minhash": dataprep.dedup_minhash,          # rows-only
         "dedup_ngram_jaccard": dataprep.dedup_ngram_jaccard,  # rows-only
         "dedup_simhash": dataprep.dedup_simhash,          # rows-only
         "docs_token_stats": dataprep.docs_token_stats,
+        "docs_bpe_tokens": dataprep.docs_bpe_tokens,
         "docs_quality": dataprep.docs_quality,
         "docs_lang_id": dataprep.docs_lang_id,            # rows-only
         "docs_fingerprint": dataprep.docs_fingerprint,    # rows-only

@@ -71,7 +71,8 @@ def normalize_argv(argv: list[str]) -> list[str]:
         tok = argv[i]
         mapped = ALIASES.get(tok, tok)
         if seen_command is None and mapped in (
-            "errors", "locks", "system", "connections", "slow", "route"
+            "errors", "locks", "system", "connections", "slow", "route",
+            "peaks", "stats"
         ):
             seen_command = mapped
             out.append(mapped)
@@ -117,7 +118,7 @@ def build_parser() -> argparse.ArgumentParser:
                       help="duration threshold like 10s/10ms, or 'top'")
     paths(slow)
 
-    for name in ("locks", "system", "connections"):
+    for name in ("locks", "system", "connections", "peaks", "stats"):
         sub = sp.add_parser(name)
         level(sub)
         paths(sub)
@@ -238,6 +239,23 @@ def main(argv: list[str] | None = None) -> int:
             core.connections_by_appname(inp).to_pandas().sort_values("appname"),
             core.connections_by_bucket(inp).to_pandas(),
         ))
+
+    elif args.command == "peaks":
+        # reference stub (main.rs:147-149) made real: busiest 10-min buckets
+        from .pipelines import windows
+
+        df = windows.peaks(inp).to_pandas()
+        print(render.render_frequency(
+            df.assign(bucket=df["bucket_ts"].astype(str)), "bucket",
+            header="Busiest time periods:",
+        ))
+
+    elif args.command == "stats":
+        from .pipelines import windows
+
+        row = windows.stats(inp).iloc[0]
+        for key in row.index:
+            print(f"{key}: {int(row[key])}")
 
     elif args.command == "route":
         manifest = router.route(inp, out_dir=args.out, num_shards=args.shards)

@@ -127,6 +127,38 @@ SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type""",
 SELECT event_type, min(value) AS min_value, max(value) AS max_value,
        count(*) AS cnt
 FROM events GROUP BY event_type""",
+        # --- windows / joins / stub commands made real ---
+        "events_user_sessions": f"""
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL {1800} SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, count(*)::BIGINT AS n_events, sum(new_s)::BIGINT AS n_sessions
+FROM x GROUP BY user_id""",
+        "events_by_segment": """
+SELECT c.c_mktsegment, count(*) AS cnt
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1""",
+        "flagged_conv_turns": f"""{cte}
+SELECT conv_id, count(*) AS cnt FROM parsed
+WHERE conv_id IN (SELECT DISTINCT conv_id FROM parsed
+                  WHERE event = 'auth_failure')
+GROUP BY conv_id""",
+        "peaks": f"""{cte}
+SELECT {oracle.bucket_expr(600)} AS bucket_ts, count(*) AS cnt FROM parsed
+GROUP BY 1 ORDER BY cnt DESC, bucket_ts LIMIT 10""",
+        "stats": f"""{cte}
+SELECT count(*)::BIGINT AS records,
+  sum(CASE WHEN severity = 'error' THEN 1 ELSE 0 END)::BIGINT AS errors,
+  sum(CASE WHEN severity = 'fatal' THEN 1 ELSE 0 END)::BIGINT AS fatals,
+  sum(CASE WHEN duration_ms > 1000.0 THEN 1 ELSE 0 END)::BIGINT AS slow_1s,
+  sum(CASE WHEN event = 'received' THEN 1 ELSE 0 END)::BIGINT AS conn_attempts,
+  sum(CASE WHEN is_lock THEN 1 ELSE 0 END)::BIGINT AS lock_events,
+  sum(CASE WHEN is_system THEN 1 ELSE 0 END)::BIGINT AS system_events
+FROM parsed""",
         # --- documents / embeddings ---
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""",
@@ -134,6 +166,11 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""",
 SELECT doc_id,
        length(text)::BIGINT AS n_chars,
        len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+FROM documents""",
+        "docs_bpe_tokens": r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+         AS n_bpe_tokens
 FROM documents""",
         "docs_quality": r"""
 SELECT doc_id,

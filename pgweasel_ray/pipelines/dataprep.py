@@ -131,6 +131,29 @@ def _quality(batch: pa.Table) -> pa.Table:
     )
 
 
+BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def _bpe_tokens(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": pc.cast(
+                pc.count_substring_regex(batch["text"], BPE_ISH_PATTERN),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def docs_bpe_tokens(sf_dir: str) -> Dataset:
+    """BPE-ish token counting: alphanumeric runs + single punctuation marks
+    (the pre-tokenizer shape most BPE vocabularies split on)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _bpe_tokens, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def docs_quality(sf_dir: str) -> Dataset:
     """Quality-scoring signals: token/stopword/digit counts + stopword ratio
     (int counts exact; the ratio is one int/int division — IEEE-identical to

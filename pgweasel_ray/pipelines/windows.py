@@ -1,0 +1,183 @@
+"""Windowed / join operators the reference lacks (custom operators per the
+graft brief): gap-based sessionization of the events stream, a
+hash-partitioned join against a dimension table, a broadcast semi-join, and
+the reference's two *unimplemented* subcommands (``peaks``, ``stats`` —
+/root/reference/src/main.rs:147-149 prints "Not implemented") realized as
+first-class aggregates.
+
+All are Ray-Data-first and scale-shaped:
+- sessionization is ``groupby(user_id).map_groups`` over ts-sorted groups —
+  the partitioning assumption is that one user's events fit one worker
+  (bound by per-user activity; salt by day for pathological users);
+- the dimension join uses ``Dataset.join`` (hash-partitioned) with the big
+  side streamed;
+- the semi-join broadcasts the (small) flagged-key set instead of shuffling
+  the big side.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from ..kernels import parse_table
+from ..sources.transcripts import read_transcripts
+from ..stages.parse import add_bucket, parse_filter_project
+from .common import grouped_count, global_sums
+
+SESSION_GAP_S = 1800  # 30 min
+
+
+def _events(sf_dir: str, columns: list[str]):
+    import ray.data
+
+    return ray.data.read_parquet(
+        str(Path(sf_dir) / "events.parquet"), columns=columns
+    )
+
+
+# --- gap sessionization (tumbling/session window) ----------------------------
+
+def _sessionize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values("ts")
+    gaps = df["ts"].diff()
+    new_session = gaps.isna() | (gaps > pd.Timedelta(seconds=SESSION_GAP_S))
+    return pd.DataFrame(
+        [
+            {
+                "user_id": df["user_id"].iloc[0],
+                "n_events": len(df),
+                "n_sessions": int(new_session.sum()),
+            }
+        ]
+    )
+
+
+def events_user_sessions(sf_dir: str) -> Dataset:
+    """Per-user session count with a 30-min inactivity gap (strictly greater
+    ⇒ new session). The streaming-window equivalent for a batch table:
+    partition by key, order by ts within the group."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+    return ds.groupby("user_id").map_groups(_sessionize, batch_format="pandas")
+
+
+# --- hash join against a dimension table -------------------------------------
+
+def events_by_segment(sf_dir: str) -> Dataset:
+    """Events joined to the customer dimension (user_id = c_custkey) and
+    counted per market segment — ``Dataset.join`` hash-partitioned on the
+    key; inner join drops events without a matching customer.
+
+    Scale note: for a truly small dimension the broadcast pattern
+    (stages/enrich.py) is cheaper; this operator exists to cover the
+    both-sides-large join shape."""
+    import ray.data
+
+    events = _events(sf_dir, ["event_id", "user_id"])
+    customers = ray.data.read_parquet(
+        str(Path(sf_dir) / "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    joined = events.join(
+        customers, join_type="inner", num_partitions=16,
+        on=("user_id",), right_on=("c_custkey",),
+    )
+    return grouped_count(
+        joined.select_columns(["c_mktsegment"]), ["c_mktsegment"]
+    )
+
+
+# --- broadcast semi-join ------------------------------------------------------
+
+def flagged_conv_turns(sf_dir: str) -> Dataset:
+    """Turn counts of conversations containing ≥1 auth failure: the flagged
+    conv_id set is computed first (tiny), broadcast, and the big side is
+    filtered inside map_batches — a semi-join with no shuffle of the big
+    side."""
+    import ray
+
+    flagged_ds = read_transcripts(sf_dir, columns=["conv_id", "text"]).map_batches(
+        parse_filter_project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(groups=("severity", "message", "event"),
+                       require=(("event", "auth_failure"),),
+                       keep=("conv_id",)),
+    )
+    flagged = set(flagged_ds.unique("conv_id"))
+    flagged_ref = ray.put(flagged)
+    turns = read_transcripts(sf_dir, columns=["conv_id"]).map_batches(
+        _filter_conv_set, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"conv_set_ref": flagged_ref},
+    )
+    return grouped_count(turns, ["conv_id"])
+
+
+def _filter_conv_set(batch: pa.Table, conv_set_ref) -> pa.Table:
+    import ray
+
+    conv_set = (
+        ray.get(conv_set_ref)
+        if isinstance(conv_set_ref, ray.ObjectRef) else conv_set_ref
+    )
+    keys = pa.array(sorted(conv_set), type=pa.string())
+    mask = pc.is_in(batch["conv_id"], value_set=keys)
+    return batch.filter(pc.fill_null(mask, False))
+
+
+# --- peaks (reference: unimplemented) ----------------------------------------
+
+def peaks(sf_dir: str, width_s: int = 600, k: int = 10) -> Dataset:
+    """Busiest time periods by record count (main.rs:147 stub made real):
+    10-min buckets over ALL records, top-k desc, bucket asc on ties."""
+    ds = read_transcripts(sf_dir, columns=["text", "ts"])
+    bucketed = ds.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"width_s": width_s},
+    ).select_columns(["bucket_ts"])
+    counts = grouped_count(bucketed, ["bucket_ts"])
+    return counts.sort(["cnt", "bucket_ts"], descending=[True, False]).limit(k)
+
+
+# --- stats (reference: unimplemented) ----------------------------------------
+
+def stats(sf_dir: str) -> pd.DataFrame:
+    """One-row log summary (cli.rs:92-96 help text made real): counts of
+    records, errors, fatals, slow statements (>1 s), connection attempts,
+    locking and system events."""
+    ds = read_transcripts(sf_dir, columns=["text"])
+    partials = ds.map_batches(
+        _stats_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cols = ["records", "errors", "fatals", "slow_1s", "conn_attempts",
+            "lock_events", "system_events"]
+    return pd.DataFrame([global_sums(partials, cols)])
+
+
+def _stats_partial(batch: pa.Table) -> pa.Table:
+    batch = parse_table(
+        batch,
+        groups=("severity", "message", "duration", "event", "locks", "system"),
+    )
+
+    def n(mask):
+        return pa.array(
+            [pc.sum(pc.cast(pc.fill_null(mask, False), pa.int64())).as_py() or 0],
+            type=pa.int64(),
+        )
+
+    return pa.table(
+        {
+            "records": pa.array([batch.num_rows], type=pa.int64()),
+            "errors": n(pc.equal(batch["severity"], "error")),
+            "fatals": n(pc.equal(batch["severity"], "fatal")),
+            "slow_1s": n(pc.greater(batch["duration_ms"], 1000.0)),
+            "conn_attempts": n(pc.equal(batch["event"], "received")),
+            "lock_events": n(batch["is_lock"]),
+            "system_events": n(batch["is_system"]),
+        }
+    )

@@ -10,9 +10,16 @@ sys.path.insert(0, "/root/repo")  # __ray_entry__ lives at the repo root
 
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():
+    import os
+
     import ray
     from ray.data import DataContext
 
+    # worker processes must be able to unpickle classes defined in test
+    # modules (they import by module name)
+    extra = "/root/repo/tests:/root/repo"
+    prev = os.environ.get("PYTHONPATH", "")
+    os.environ["PYTHONPATH"] = f"{extra}:{prev}" if prev else extra
     ray.init(
         address="local",
         num_cpus=4,
