@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_per_hour": events.events_per_hour,
         "events_top_types": events.events_top_types,
         "events_value_range": events.events_value_range,
+        "events_props_k_sum": events.events_props_k_sum,
         # windows / joins / reference-stub commands made real
         "events_user_sessions": windows.events_user_sessions,
         "events_by_segment": windows.events_by_segment,

@@ -123,6 +123,11 @@ SELECT {eh} AS bucket_ts, count(*) AS cnt FROM events
 GROUP BY bucket_ts ORDER BY bucket_ts""",
         "events_top_types": """
 SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type""",
+        "events_props_k_sum": r"""
+SELECT event_type,
+       sum(try_cast(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS BIGINT))::BIGINT AS sum_k,
+       count(*) AS cnt
+FROM events GROUP BY event_type""",
         "events_value_range": """
 SELECT event_type, min(value) AS min_value, max(value) AS max_value,
        count(*) AS cnt

@@ -113,10 +113,17 @@ def errors_list(sf_dir: str, min_rank: int = ERROR_RANK) -> Dataset:
 
 
 def errors_by_severity(sf_dir: str) -> Dataset:
-    """Count per severity at/above the Error floor."""
-    return grouped_count(
-        errors_list(sf_dir).select_columns(["severity"]), ["severity"]
+    """Count per severity at/above the Error floor. Reads ONLY the text
+    column (prune at the read, not after the parse)."""
+    ds = read_transcripts(sf_dir, columns=["text"])
+    rows = ds.map_batches(
+        parse_filter_project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(groups=("severity",), min_rank=ERROR_RANK,
+                       keep=("severity",)),
     )
+    return grouped_count(rows, ["severity"])
 
 
 def errors_top_messages(sf_dir: str, limit: int = TOP_N_MESSAGES) -> Dataset:

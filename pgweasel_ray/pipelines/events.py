@@ -41,6 +41,36 @@ def events_top_types(sf_dir: str) -> Dataset:
     return grouped_count(_events(sf_dir, ["event_type"]), ["event_type"])
 
 
+PROPS_K_PATTERN = r'"k": *(?P<k>-?[0-9]+)'
+
+
+def _props_k_partial(batch: pa.Table) -> pa.Table:
+    k = pc.cast(
+        pc.struct_field(
+            pc.extract_regex(batch["props"], PROPS_K_PATTERN), "k"
+        ),
+        pa.int64(),
+    )
+    t = pa.table({"event_type": batch["event_type"], "k": k})
+    agg = t.group_by(["event_type"]).aggregate([("k", "sum"), ([], "count_all")])
+    return agg.rename_columns(["event_type", "sum_k", "cnt"])
+
+
+def events_props_k_sum(sf_dir: str) -> Dataset:
+    """Semi-structured props extraction: the integer ``k`` field of the JSON
+    props string, summed per event_type (vectorized regex extract — exact
+    int aggregation, so oracle-comparable unlike float sums)."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["event_type", "props"])
+    partials = ds.map_batches(
+        _props_k_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("event_type").aggregate(
+        Sum("sum_k", alias_name="sum_k"), Sum("cnt", alias_name="cnt")
+    )
+
+
 def events_value_range(sf_dir: str) -> Dataset:
     """min/max/count of value per event_type — order-independent aggregates
     (float SUM is deliberately avoided in oracle-checked queries: its result
