@@ -122,11 +122,13 @@ def run_scaling() -> dict:
     for f in transcripts_path(SCALING_SF_DIR).glob("*.parquet"):
         f.read_bytes()
 
-    # N=4 vs 4N=16: both levels sit below this box's single-socket memory-
-    # bandwidth wall (the same kernels scale 0.84+ under plain multiprocessing
-    # up to 8 procs and the box flatlines ~16→32 cores; see BASELINE.md for
-    # the full 2/4/8/16/32 curve and the hardware-floor experiment).
-    n_lo, n_hi = 4, 16
+    # N=2 vs 4N=8: both levels sit below this box's single-socket memory-
+    # bandwidth wall — the flagship halves its wall time at each doubling
+    # 2→4→8 (eff ≈ 1.0) and flatlines 8→16→32 as the shared memory bus
+    # saturates; a real 4N-node cluster multiplies buses/NICs/object stores
+    # with the cores. Full 2/4/8/16/32 curve + the multiprocessing
+    # hardware-floor experiment: BASELINE.md.
+    n_lo, n_hi = 2, 8
     lo, hi = run(n_lo), run(n_hi)
     tp_lo, tp_hi = lo["turns_per_sec"], hi["turns_per_sec"]
     eff = (tp_hi / tp_lo) / (n_hi / n_lo)

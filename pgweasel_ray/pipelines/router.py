@@ -84,7 +84,11 @@ def route(
         # NOTE: a Dataset snapshots the DataContext at creation, so the
         # hash-shuffle scope must start before read_parquet.
         with _hash_shuffle():
-            ds = ray.data.read_parquet(shard_files)
+            n_cpus = int(ray.cluster_resources().get("CPU", 8))
+            ds = ray.data.read_parquet(
+                shard_files,
+                override_num_blocks=max(n_cpus, len(shard_files)),
+            )
             ds = ds.map_batches(
                 parse_batch, batch_format="pyarrow", zero_copy_batch=True,
                 fn_kwargs={"groups": ROUTED_SCHEMA_GROUPS},
@@ -110,7 +114,6 @@ def route(
         # hashes to one aggregator; at 10^12 turns add a salt column
         # (hash(conv_id) % S) to the repartition keys to split it — conv
         # order is preserved because the local sort runs after.
-            n_cpus = int(ray.cluster_resources().get("CPU", 8))
             ds = ds.repartition(n_cpus, keys=["severity", "tool"], sort=False)
             ds = ds.map_batches(
                 _local_sort, batch_format="pyarrow", zero_copy_batch=True,
@@ -143,13 +146,24 @@ def _hash_shuffle():
     from ray.data import DataContext
     from ray.data.context import ShuffleStrategy
 
+    import os
+
     ctx = DataContext.get_current()
     prev = ctx.shuffle_strategy
+    prev_cpus = ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # Aggregator actors default to 1 whole CPU per partition; with
+    # partitions == cluster CPUs they can reserve the whole of a small
+    # cluster and starve the map/read tasks they depend on. Tunable via
+    # PGWEASEL_AGG_CPUS (fractional); default leaves Ray's sizing.
+    agg_cpus = os.environ.get("PGWEASEL_AGG_CPUS")
+    if agg_cpus:
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = float(agg_cpus)
     try:
         yield
     finally:
         ctx.shuffle_strategy = prev
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = prev_cpus
 
 
 def _written_counts(shard_dir: Path) -> tuple[int, dict[str, int]]:
