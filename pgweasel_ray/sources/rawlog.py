@@ -91,6 +91,43 @@ def _expand_archive(path: str, data: bytes) -> list[tuple[str, bytes]]:
 _TS_HEAD = r"^(\d{4}-\d\d-\d\d \d\d:\d\d:\d\d(?:\.\d+)?)"
 
 
+def jsonlog_to_plain(line: bytes) -> str | None:
+    """PostgreSQL jsonlog record → the equivalent plain-format record text.
+
+    The reference only *enumerates* jsonlog (JsonNotYetImplemented,
+    error.rs:34); here it is supported by rendering each JSON record in the
+    plain shape the extractors understand::
+
+        <timestamp> [<pid>] <SEVERITY>:  <message>[ + user=/database=/
+        application_name= attributes][\\nDETAIL:...][\\nSTATEMENT:...]
+
+    so severity precedence, message, duration, kv and the filters behave
+    identically to a stderr log of the same events.
+    """
+    import json
+
+    try:
+        rec = json.loads(line)
+    except (ValueError, UnicodeDecodeError):
+        return None
+    ts = rec.get("timestamp", "")
+    pid = rec.get("pid", 0)
+    sev = rec.get("error_severity", "LOG")
+    msg = rec.get("message", "")
+    attrs = "".join(
+        f" {key}={rec[field]}"
+        for field, key in (("user", "user"), ("dbname", "database"),
+                           ("application_name", "application_name"))
+        if rec.get(field)
+    )
+    parts = [f"{ts} [{pid}] {sev}:  {msg}{attrs}"]
+    if rec.get("detail"):
+        parts.append(f"DETAIL:  {rec['detail']}")
+    if rec.get("statement"):
+        parts.append(f"STATEMENT:  {rec['statement']}")
+    return "\n".join(parts)
+
+
 def _files_to_records(batch: pa.Table) -> pa.Table:
     import re
 
@@ -99,9 +136,20 @@ def _files_to_records(batch: pa.Table) -> pa.Table:
     for path, data in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
         for name, content in _expand_archive(path, data):
             p = Path(name)
-            tool = "csv" if p.suffix.lower() == ".csv" else "plain"
-            for i, rec in enumerate(split_records(content)):
-                text = rec.decode("utf-8", errors="replace")
+            if p.suffix.lower() == ".json":
+                recs = [
+                    t for t in (jsonlog_to_plain(l)
+                                for l in content.splitlines() if l.strip())
+                    if t is not None
+                ]
+                tool = "plain"  # rendered into plain form
+            else:
+                tool = "csv" if p.suffix.lower() == ".csv" else "plain"
+                recs = [
+                    r.decode("utf-8", errors="replace")
+                    for r in split_records(content)
+                ]
+            for i, text in enumerate(recs):
                 m = ts_re.match(text)
                 conv_ids.append(p.stem)
                 turn_idxs.append(i)

@@ -443,7 +443,7 @@ def hash_stable(s: str) -> int:
     return h
 
 
-RAW_LOG_SUFFIXES = {".log", ".csv", ".gz", ".zip"}
+RAW_LOG_SUFFIXES = {".log", ".csv", ".gz", ".zip", ".json"}
 
 
 def raw_log_paths(sf_dir: str | Path) -> list[str]:

@@ -98,6 +98,40 @@ class TestRawlogSplit:
         assert df["tool"].iloc[0] == "plain"
 
 
+class TestJsonlog:
+    def test_jsonlog_to_plain(self):
+        from pgweasel_ray.sources.rawlog import jsonlog_to_plain
+
+        line = (
+            b'{"timestamp":"2025-06-04 15:03:02.536 EEST","pid":226141,'
+            b'"error_severity":"ERROR","message":"syntax error",'
+            b'"user":"krl","dbname":"postgres","application_name":"psql",'
+            b'"statement":"asfasda"}'
+        )
+        got = jsonlog_to_plain(line)
+        assert got == (
+            "2025-06-04 15:03:02.536 EEST [226141] ERROR:  syntax error "
+            "user=krl database=postgres application_name=psql\n"
+            "STATEMENT:  asfasda"
+        )
+        assert jsonlog_to_plain(b"not json") is None
+
+    @pytest.mark.skipif(
+        not __import__("pathlib").Path(
+            "/root/reference/testdata/pgbench.json").exists(),
+        reason="reference corpus not available",
+    )
+    def test_jsonlog_ingest_end_to_end(self):
+        # the reference ERRORS on .json (JsonNotYetImplemented, error.rs:34);
+        # we parse it: pgbench.json contains exactly one ERROR record
+        from pgweasel_ray.pipelines.core import records
+
+        df = records("/root/reference/testdata/pgbench.json").to_pandas()
+        errors = df[df["severity"] == "error"]
+        assert len(errors) == 1
+        assert 'syntax error at or near "asfasda"' in errors["text"].iloc[0]
+
+
 class TestCsvKernels:
     def test_csv_severity(self):
         from pgweasel_ray.kernels import severity_columns
