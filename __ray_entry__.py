@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # north_star additions
         "sessions": core.sessions,
         "sessions_top_errors": core.sessions_top_errors,
+        "conv_first_error": core.conv_first_error,
         "enriched_severity_counts": core.enriched_severity_counts,
         "routed_counts": router.routed_counts,
         # aggregate layer over the native events table

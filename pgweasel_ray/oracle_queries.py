@@ -94,6 +94,9 @@ GROUP BY 1""",
         "disconnections_by_host": f"""{cte}
 SELECT coalesce(host, 'unknown') AS host, count(*) AS cnt FROM parsed
 WHERE event = 'disconnection' GROUP BY 1""",
+        "conv_first_error": f"""{cte}
+SELECT conv_id, min(turn_idx) AS first_error_turn FROM parsed
+WHERE severity_rank >= {core.ERROR_RANK} GROUP BY conv_id""",
         "sessions_top_errors": f"""{cte}
 SELECT conv_id, count(*)::BIGINT AS n_turns,
        sum(CASE WHEN severity_rank >= {core.ERROR_RANK} THEN 1 ELSE 0 END)::BIGINT AS n_errors

@@ -457,6 +457,24 @@ def _session_fn(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def conv_first_error(sf_dir: str) -> Dataset:
+    """Earliest error turn per conversation (Min aggregate over the
+    error-filtered stream)."""
+    from ray.data.aggregate import Min
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    errs = ds.map_batches(
+        parse_filter_project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(groups=("severity",), min_rank=ERROR_RANK,
+                       keep=("conv_id", "turn_idx")),
+    )
+    return errs.groupby("conv_id").aggregate(
+        Min("turn_idx", alias_name="first_error_turn")
+    )
+
+
 def sessions_top_errors(sf_dir: str, k: int = 10) -> Dataset:
     """Top-k conversations by error count (session reconstruction feeding a
     distributed top-k; ties broken by conv_id)."""
