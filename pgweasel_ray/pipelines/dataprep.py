@@ -296,32 +296,63 @@ class MinHashBandStage:
         )
 
 
-def _dup_ids_from_bands(band_rows: Dataset) -> set[int]:
-    """doc_ids dominated (same band bucket as a smaller doc_id) in ≥1 band."""
-    dom = band_rows.groupby(["band", "band_hash"]).map_groups(
-        _emit_dominated, batch_format="pandas"
-    )
-    return set(dom.to_pandas()["doc_id"]) if dom.count() else set()
-
-
 def _emit_dominated(df: pd.DataFrame) -> pd.DataFrame:
     m = df["doc_id"].min()
     dup = df.loc[df["doc_id"] != m, ["doc_id"]].drop_duplicates()
     return dup if len(dup) else pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
 
 
+def _anti_join_survivors(sf_dir: str, dups: Dataset,
+                         id_col: str = "doc_id") -> pd.DataFrame:
+    """Distributed survivors = ids LEFT ANTI JOIN dominated ids — the
+    hash-partitioned join is the 10^12-scale path (no driver-side id set);
+    only the final (small) survivor id list is collected."""
+    table = "documents.parquet" if id_col == "doc_id" else "embeddings.parquet"
+    import ray.data
+
+    all_ids = ray.data.read_parquet(
+        str(Path(sf_dir) / table), columns=[id_col]
+    )
+    # empty per-group outputs yield schema-less blocks that break the join's
+    # key resolution — re-type every block explicitly
+    dups = dups.map_batches(
+        _coerce_id_schema, batch_format="pandas", fn_kwargs={"id_col": id_col}
+    )
+    n_dups = dups.count()
+    if n_dups == 0:
+        out = all_ids.to_pandas()[id_col]
+    else:
+        # empty right-side partitions break key resolution in Ray's hash
+        # join, so partitions scale with the dup count (at 10^12-doc scale
+        # every partition is dense and this is simply n_cpus-sized)
+        survivors = all_ids.join(
+            dups, join_type="left_anti",
+            num_partitions=max(1, min(8, n_dups // 8)),
+            on=(id_col,),
+        )
+        out = survivors.to_pandas()[id_col]
+    return pd.DataFrame(
+        {id_col: out.sort_values().reset_index(drop=True)}
+    )
+
+
+def _coerce_id_schema(df: pd.DataFrame, id_col: str) -> pa.Table:
+    vals = df[id_col].to_numpy() if id_col in df.columns else []
+    return pa.table({id_col: pa.array(vals, type=pa.int64())})
+
+
 def dedup_minhash(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-dup removal: survivors = docs never sharing an LSH
-    band bucket with a smaller doc_id. (Driver-side dup set is the test-scale
-    shortcut; scale path = anti-join by doc_id hash bucket.)"""
+    band bucket with a smaller doc_id, via a distributed left-anti join on
+    the dominated-id set."""
     band_rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         MinHashBandStage, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, 4),
     )
-    dups = _dup_ids_from_bands(band_rows)
-    all_ids = _docs(sf_dir, ["doc_id"]).to_pandas()["doc_id"]
-    out = all_ids[~all_ids.isin(dups)].sort_values().reset_index(drop=True)
-    return pd.DataFrame({"doc_id": out})
+    dups = band_rows.groupby(["band", "band_hash"]).map_groups(
+        _emit_dominated, batch_format="pandas"
+    )
+    return _anti_join_survivors(sf_dir, dups)
 
 
 def _emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -456,11 +487,8 @@ def dedup_simhash(sf_dir: str) -> pd.DataFrame:
     )
     dom = band_rows.groupby(["band", "band_hash"]).map_groups(
         _emit_simhash_dups, batch_format="pandas"
-    )
-    dups = set(dom.to_pandas()["doc_id"]) if dom.count() else set()
-    all_ids = _docs(sf_dir, ["doc_id"]).to_pandas()["doc_id"]
-    out = all_ids[~all_ids.isin(dups)].sort_values().reset_index(drop=True)
-    return pd.DataFrame({"doc_id": out})
+    ).select_columns(["doc_id"])
+    return _anti_join_survivors(sf_dir, dom)
 
 
 # --- similarity search -------------------------------------------------------
@@ -576,10 +604,7 @@ def embed_neardup(sf_dir: str, threshold: float = 0.999) -> pd.DataFrame:
         _emit_cosine_dups, batch_format="pandas",
         fn_kwargs={"threshold": threshold},
     )
-    dups = set(dom.to_pandas()["vec_id"]) if dom.count() else set()
-    all_ids = _embeddings(sf_dir, ["vec_id"]).to_pandas()["vec_id"]
-    out = all_ids[~all_ids.isin(dups)].sort_values().reset_index(drop=True)
-    return pd.DataFrame({"vec_id": out})
+    return _anti_join_survivors(sf_dir, dom, id_col="vec_id")
 
 
 def _embedding_dim(sf_dir: str) -> int:

@@ -1,0 +1,51 @@
+"""CLI argument normalization (aliases, default subcommand) and in-process
+command dispatch."""
+
+from __future__ import annotations
+
+import pytest
+
+from pgweasel_ray.cli import build_parser, main, normalize_argv
+
+
+class TestNormalizeArgv:
+    def test_alias_expansion(self):
+        assert normalize_argv(["err", "top", "f.log"]) == ["errors", "top", "f.log"]
+        assert normalize_argv(["conn", "f.log"]) == ["connections", "f.log"]
+        assert normalize_argv(["sys", "f.log"]) == ["system", "f.log"]
+        assert normalize_argv(["deadlocks", "f.log"]) == ["locks", "f.log"]
+
+    def test_default_errors_subcommand(self):
+        # clap's default subcommand behaviour (main.rs:80)
+        assert normalize_argv(["errors", "f.log"]) == ["errors", "list", "f.log"]
+        assert normalize_argv(["err", "hist", "f.log"]) == [
+            "errors", "hist", "f.log",
+        ]
+
+    def test_global_flags_before_command(self):
+        args = build_parser().parse_args(
+            normalize_argv(["-m", "xx", "-b", "10m", "errors", "f.log"])
+        )
+        assert args.mask == "xx" and args.begin == "10m"
+        assert args.command == "errors" and args.subcommand == "list"
+
+    def test_hist_local_bucket_flag(self):
+        # inside `errors hist`, -b means bucket (cli.rs:40-45)
+        args = build_parser().parse_args(
+            normalize_argv(["errors", "hist", "-b", "1s", "f.log"])
+        )
+        assert args.bucket == "1s" and args.begin is None
+
+    def test_top_local_max_flag(self):
+        args = build_parser().parse_args(
+            normalize_argv(["err", "top", "-m", "2", "f.log"])
+        )
+        assert args.max == 2 and args.mask is None
+
+
+def test_cli_end_to_end_list(sf_dir, capsys):
+    rc = main(["errors", "list", sf_dir, "-l", "fatal"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "FATAL:" in out
+    assert "ERROR:" not in out.replace("FATAL:", "")  # floor respected
