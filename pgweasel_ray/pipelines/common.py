@@ -35,6 +35,33 @@ def grouped_count(ds: Dataset, keys: list[str]) -> Dataset:
     return partials.groupby(list(keys)).aggregate(Sum("cnt", alias_name="cnt"))
 
 
+def _salted_partial(batch: pa.Table, keys: list[str], salt: int) -> pa.Table:
+    import numpy as np
+
+    agg = batch.group_by(keys).aggregate([([], "count_all")])
+    agg = agg.rename_columns(keys + ["cnt"])
+    rng_free = np.arange(agg.num_rows, dtype=np.int64) % salt
+    return agg.append_column("_salt", pa.array(rng_free, type=pa.int64()))
+
+
+def grouped_count_salted(ds: Dataset, keys: list[str], salt: int = 16) -> Dataset:
+    """Hot-key-safe grouped count: per-block partials carry an explicit salt
+    column, the first shuffle groups by (keys + salt) so one hot key spreads
+    over ``salt`` reducers, and a second (tiny) aggregate folds the salted
+    partials. With the per-block pre-aggregation of :func:`grouped_count`
+    the salt is usually redundant — this is the explicit salted-repartition
+    path for keys hot enough that even the per-block partials overwhelm a
+    single reducer (north_star: hot conv_ids at 10^12 turns)."""
+    partials = ds.map_batches(
+        _salted_partial, batch_format="pyarrow",
+        fn_kwargs={"keys": list(keys), "salt": salt},
+    )
+    salted = partials.groupby(list(keys) + ["_salt"]).aggregate(
+        Sum("cnt", alias_name="cnt")
+    )
+    return salted.groupby(list(keys)).aggregate(Sum("cnt", alias_name="cnt"))
+
+
 def _partial_sums(batch: pa.Table, cols: list[str]) -> pa.Table:
     import pyarrow.compute as pc
 
