@@ -23,6 +23,7 @@ import pyarrow as pa
 
 IMG_MAGIC = b"FAKEIMG"
 AUD_MAGIC = b"FAKEAUD"
+VID_MAGIC = b"FAKEVID"
 
 
 def fake_image(height: int, width: int, channels: int = 3, seed: int = 0) -> bytes:
@@ -35,6 +36,50 @@ def fake_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
     rng = np.random.default_rng(seed)
     samples = rng.integers(-(2**15), 2**15, n_samples, dtype=np.int16)
     return AUD_MAGIC + struct.pack("<II", sample_rate, n_samples) + samples.tobytes()
+
+
+def fake_video(n_frames: int, height: int, width: int, seed: int = 0) -> bytes:
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, n_frames * height * width, dtype=np.uint8)
+    return (VID_MAGIC + struct.pack("<IHH", n_frames, height, width)
+            + frames.tobytes())
+
+
+class VideoFrameSampleStage:
+    """binary video → every k-th frame re-encoded as FAKEIMG rows
+    (1 input row → ⌈n_frames/k⌉ output rows: the explode-shaped stage a
+    frame-level pipeline needs). Real decoding would use pyav/ffmpeg —
+    absent here, so only the FAKEVID container is decoded; anything else
+    raises NotImplementedError."""
+
+    def __init__(self, every_k: int = 10, video_col: str = "video"):
+        self.k, self.video_col = every_k, video_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, images = [], [], []
+        id_col = "id" if "id" in batch.column_names else batch.column_names[0]
+        for rid, data in zip(batch[id_col].to_pylist(),
+                             batch[self.video_col].to_pylist()):
+            if data[: len(VID_MAGIC)] != VID_MAGIC:
+                raise NotImplementedError("real video decode requires pyav")
+            n, h, w = struct.unpack_from("<IHH", data, len(VID_MAGIC))
+            px = np.frombuffer(
+                data, dtype=np.uint8, offset=len(VID_MAGIC) + 8
+            ).reshape(n, h, w)
+            for i in range(0, n, self.k):
+                ids.append(rid)
+                frame_idx.append(i)
+                images.append(
+                    IMG_MAGIC + struct.pack("<HHB", h, w, 1)
+                    + px[i].tobytes()
+                )
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "frame_idx": pa.array(frame_idx, type=pa.int32()),
+                "image": pa.array(images, type=pa.binary()),
+            }
+        )
 
 
 class ImageDecodeStage:

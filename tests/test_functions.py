@@ -208,6 +208,31 @@ class TestMultimodal:
             with pytest.raises(NotImplementedError):
                 stage(batch)
 
+    def test_video_frame_sampling_pipeline(self):
+        """Explode-shaped video stage composed with image decode in a real
+        Ray pipeline: 2 videos × 30 frames, sample every 10th → 6 frames."""
+        import ray.data
+
+        from pgweasel_ray.stages.multimodal import (
+            ImageDecodeStage, VideoFrameSampleStage, fake_video,
+        )
+
+        t = pa.table({
+            "id": pa.array([1, 2], type=pa.int64()),
+            "video": pa.array(
+                [fake_video(30, 8, 8, seed=i) for i in (1, 2)],
+                type=pa.binary(),
+            ),
+        })
+        ds = ray.data.from_arrow(t).map_batches(
+            VideoFrameSampleStage, batch_format="pyarrow", batch_size=1,
+            concurrency=2,
+        ).map_batches(ImageDecodeStage, batch_format="pyarrow", concurrency=2)
+        df = ds.to_pandas()
+        assert len(df) == 6
+        assert sorted(df["frame_idx"].unique()) == [0, 10, 20]
+        assert (df["height"] == 8).all() and (df["channels"] == 1).all()
+
     def test_stage_in_ray_pipeline(self, tmp_path):
         """The actor-pool plumbing: binary column survives the object store,
         stage runs as a pool with small batches."""
