@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_stats": dataprep.docs_token_stats,
         "docs_bpe_tokens": dataprep.docs_bpe_tokens,
         "docs_quality": dataprep.docs_quality,
+        "docs_quality_filter": dataprep.docs_quality_filter,
         "docs_lang_id": dataprep.docs_lang_id,            # rows-only
         "docs_fingerprint": dataprep.docs_fingerprint,    # rows-only
         "ann_cosine_topk": dataprep.ann_cosine_topk,

@@ -188,6 +188,11 @@ SELECT doc_id,
        (len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it)\b'))::DOUBLE
         / nullif(len(regexp_extract_all(text, '\S+')), 0)) AS stop_ratio
 FROM documents""",
+        "docs_quality_filter": r"""
+SELECT doc_id FROM documents
+WHERE len(regexp_extract_all(text, '\S+')) >= 30
+  AND len(regexp_extract_all(text, '[0-9]'))
+      < 0.3 * greatest(len(regexp_extract_all(text, '\S+')), 1)""",
         "ann_cosine_topk": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id

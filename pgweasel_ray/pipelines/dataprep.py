@@ -182,6 +182,27 @@ def _lang_id(batch: pa.Table) -> pa.Table:
     )
 
 
+QF_MIN_TOKENS = 30
+QF_MAX_DIGIT_RATIO = 0.3
+
+
+def _quality_filter(batch: pa.Table) -> pa.Table:
+    q = _quality(batch)
+    nt = q["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+    nd = q["n_digits"].to_numpy(zero_copy_only=False).astype(np.float64)
+    keep = (nt >= QF_MIN_TOKENS) & (nd < QF_MAX_DIGIT_RATIO * np.maximum(nt, 1.0))
+    return pa.table({"doc_id": q["doc_id"]}).filter(pa.array(keep))
+
+
+def docs_quality_filter(sf_dir: str) -> Dataset:
+    """The corpus quality FILTER (the primitive a training-data pipeline
+    actually applies): keep doc_ids with ≥30 tokens and digit count below
+    30% of tokens. Pure int comparisons ⇒ oracle-exact."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _quality_filter, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def docs_lang_id(sf_dir: str) -> Dataset:
     """Language ID via per-language function-word hit counts (vectorized
     RE2); accuracy is asserted against the table's ``lang`` column in

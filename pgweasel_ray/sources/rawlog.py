@@ -178,6 +178,122 @@ def read_raw_logs(paths: list[str] | str):
                           batch_size=1)
 
 
+# --- chunked ingest for huge single files ------------------------------------
+
+CHUNK_BYTES = 64 * 1024 * 1024
+BOUNDARY_OVERSCAN = 1024 * 1024  # max record size scanned past a chunk edge
+
+
+def _chunk_tasks(paths: list[str], chunk_bytes: int) -> list[dict]:
+    import os
+
+    tasks = []
+    for path in paths:
+        size = os.path.getsize(path)
+        start = 0
+        while start < size:
+            tasks.append({"path": path, "start": start,
+                          "end": min(start + chunk_bytes, size)})
+            start += chunk_bytes
+    return tasks
+
+
+def _read_chunk(batch: pa.Table) -> pa.Table:
+    """One byte-range task: seek to the first record-start line at/after
+    ``start`` (unless at file head) and consume records until the first
+    record-start at/after ``end`` — exactly the reference's chunk-boundary
+    alignment (output_results/mod.rs:55-80: chunk edges advance forward to
+    the next timestamp-shaped line), so every record lands in exactly one
+    chunk and multi-line records never split."""
+    import re
+
+    ts_re = re.compile(_TS_HEAD)
+    out = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+    for path, start, end in zip(batch["path"].to_pylist(),
+                                batch["start"].to_pylist(),
+                                batch["end"].to_pylist()):
+        p = Path(path)
+        # read one lead byte before `start` so "does the chunk begin at a
+        # line boundary" is decidable without the rest of the file
+        lead = 1 if start > 0 else 0
+        with open(path, "rb") as f:
+            f.seek(start - lead)
+            data = f.read(lead + (end - start) + BOUNDARY_OVERSCAN)
+        # align the head: skip the partial record belonging to the previous
+        # chunk (its task consumes it via overscan)
+        offset = lead
+        if start > 0:
+            offset = _next_record_start(data, lead)
+            if offset is None:
+                continue  # no record starts in this chunk
+        # align the tail: first record start at/after the nominal end
+        tail = _next_record_start(data, lead + (end - start))
+        body = data[offset: tail if tail is not None else len(data)]
+        for i, rec in enumerate(split_records(body)):
+            text = rec.decode("utf-8", errors="replace")
+            m = ts_re.match(text)
+            out["conv_id"].append(f"{p.stem}@{start}")
+            out["turn_idx"].append(i)
+            out["role"].append("log")
+            out["text"].append(text)
+            out["tool"].append("csv" if p.suffix.lower() == ".csv" else "plain")
+            out["ts"].append(m.group(1) if m else None)
+    import pandas as pd
+
+    ts = pd.to_datetime(pd.Series(out["ts"], dtype=object), errors="coerce")
+    return pa.table(
+        {
+            "conv_id": pa.array(out["conv_id"], type=pa.string()),
+            "turn_idx": pa.array(out["turn_idx"], type=pa.int32()),
+            "role": pa.array(out["role"], type=pa.string()),
+            "text": pa.array(out["text"], type=pa.string()),
+            "tool": pa.array(out["tool"], type=pa.string()),
+            "ts": pa.Array.from_pandas(ts, type=pa.timestamp("us")),
+        }
+    )
+
+
+def _next_record_start(data: bytes, from_pos: int) -> int | None:
+    """Offset of the first line at/after ``from_pos`` that is a record
+    start; None when there is none. ``from_pos`` itself counts when it sits
+    at a line beginning (chunk boundaries can land exactly on a record
+    start — both neighbour tasks must agree it belongs to the later one)."""
+    if from_pos >= len(data):
+        return None
+    if from_pos == 0 or data[from_pos - 1: from_pos] == b"\n":
+        line_end = data.find(b"\n", from_pos)
+        line = data[from_pos: line_end if line_end != -1 else len(data)]
+        if is_record_start(line):
+            return from_pos
+    pos = from_pos
+    while True:
+        nl = data.find(b"\n", pos)
+        if nl == -1:
+            return None
+        cand = nl + 1
+        line_end = data.find(b"\n", cand)
+        line = data[cand: line_end if line_end != -1 else len(data)]
+        if is_record_start(line):
+            return cand
+        pos = cand
+
+
+def read_raw_logs_chunked(paths: list[str] | str,
+                          chunk_bytes: int = CHUNK_BYTES):
+    """Byte-range-parallel raw-log ingest for files larger than one worker
+    should hold: each task reads one aligned chunk (the reference's
+    per-chunk rayon model, distributed). conv_id is ``<stem>@<offset>`` so
+    (conv_id, turn_idx) stays unique across chunks. Plain/csv only
+    (archives use :func:`read_raw_logs`, which needs whole files)."""
+    import ray.data
+
+    if isinstance(paths, str):
+        paths = [paths]
+    tasks = _chunk_tasks(paths, chunk_bytes)
+    ds = ray.data.from_items(tasks)
+    return ds.map_batches(_read_chunk, batch_format="pyarrow", batch_size=1)
+
+
 def ingest_to_transcripts(paths: list[str] | str, out_dir: str) -> str:
     """Materialize raw logs as a transcripts parquet dir usable by every
     pipeline and the CLI (`pgweasel-ray errors <out_dir> ...`)."""

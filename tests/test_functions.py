@@ -98,6 +98,45 @@ class TestRawlogSplit:
         assert df["tool"].iloc[0] == "plain"
 
 
+class TestChunkedIngest:
+    def test_chunked_equals_whole_file(self, tmp_path):
+        """Tiny chunk size forces many boundary alignments; the record SET
+        must equal the whole-file ingest (no split/lost/duplicated
+        records, including multi-line ones straddling chunk edges)."""
+        from pgweasel_ray.sources.rawlog import (
+            read_raw_logs, read_raw_logs_chunked,
+        )
+
+        lines = []
+        for i in range(200):
+            lines.append(f"2025-01-01 10:{i // 60:02d}:{i % 60:02d}.000 UTC [7] "
+                         f"ERROR:  event number {i}")
+            if i % 7 == 0:  # multi-line records at irregular positions
+                lines.append("DETAIL:  continuation for " + "x" * (i % 37))
+                lines.append("STATEMENT:  select " + str(i))
+        f = tmp_path / "big.log"
+        f.write_text("\n".join(lines) + "\n")
+
+        whole = sorted(read_raw_logs(str(f)).to_pandas()["text"])
+        chunked = sorted(
+            read_raw_logs_chunked(str(f), chunk_bytes=700).to_pandas()["text"]
+        )
+        assert chunked == whole
+
+    def test_chunk_boundary_never_splits_records(self, tmp_path):
+        from pgweasel_ray.sources.rawlog import read_raw_logs_chunked
+
+        f = tmp_path / "x.log"
+        f.write_text(
+            "2025-01-01 10:00:00.000 UTC [1] ERROR:  one\n"
+            "DETAIL:  a-long-continuation-line-crossing-the-boundary\n"
+            "2025-01-01 10:00:01.000 UTC [1] LOG:  two\n"
+        )
+        df = read_raw_logs_chunked(str(f), chunk_bytes=40).to_pandas()
+        assert len(df) == 2
+        assert any("DETAIL" in t for t in df["text"])
+
+
 class TestJsonlog:
     def test_jsonlog_to_plain(self):
         from pgweasel_ray.sources.rawlog import jsonlog_to_plain
