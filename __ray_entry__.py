@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": dataprep.docs_fingerprint,    # rows-only
         "ann_cosine_topk": dataprep.ann_cosine_topk,
         "ann_lsh_topk": dataprep.ann_lsh_topk,            # rows-only
+        "ann_ivf_topk": dataprep.ann_ivf_topk,            # rows-only
         "embed_neardup": dataprep.embed_neardup,          # rows-only
     }
 

@@ -614,6 +614,93 @@ def _filter_bucket(batch: pa.Table, bucket: int) -> pa.Table:
     return batch.filter(pc.equal(batch["bucket"], bucket))
 
 
+# --- IVF ANN (coarse k-means quantizer) --------------------------------------
+
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+def _train_centroids(sf_dir: str, nlist: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means over a driver-side sample (training
+    data is a sample even at 10^12 scale; assignment is the distributed
+    part). Returns L2-normalized centroids (nlist, dim)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(Path(sf_dir) / "embeddings.parquet",
+                      columns=["embedding"])
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.default_rng(424242)
+    centroids = mat[rng.choice(len(mat), size=min(nlist, len(mat)),
+                               replace=False)]
+    for _ in range(iters):
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                centroids[c] = v / np.linalg.norm(v)
+    return centroids
+
+
+class IvfAssignStage:
+    """vector → nearest-centroid list id (broadcast centroids, per-batch
+    matmul) — the distributed IVF assignment."""
+
+    def __init__(self, centroids):
+        import ray
+
+        if isinstance(centroids, ray.ObjectRef):
+            centroids = ray.get(centroids)
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        mat = np.asarray(emb.flatten(), dtype=np.float64).reshape(len(batch), -1)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        lists = (mat @ self.centroids.T).argmax(axis=1)
+        return batch.append_column(
+            "ivf_list", pa.array(lists.astype(np.int64), type=pa.int64())
+        )
+
+
+def ann_ivf_topk(sf_dir: str, k: int = 10, nlist: int = IVF_NLIST,
+                 nprobe: int = IVF_NPROBE) -> pd.DataFrame:
+    """IVF ANN: spherical-k-means coarse quantizer, vectors assigned to
+    inverted lists, the query probes its ``nprobe`` nearest lists and runs
+    exact cosine only there. ``nprobe == nlist`` degenerates to exact
+    brute force (asserted in tests); smaller nprobe trades recall for a
+    ~nlist/nprobe scan reduction."""
+    import ray
+
+    q = _query_vector(sf_dir)
+    centroids = _train_centroids(sf_dir, nlist)
+    qn = q / np.linalg.norm(q)
+    probed = np.argsort(-(centroids @ qn))[:nprobe]
+    c_ref, q_ref = ray.put(centroids), ray.put(q)
+    ds = _embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(
+        IvfAssignStage, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_args=(c_ref,), concurrency=(1, 4),
+    )
+    probed_ds = ds.map_batches(
+        _filter_ivf_lists, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"lists": sorted(int(x) for x in probed)},
+    )
+    sims = probed_ds.map_batches(
+        CosineStage, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_args=(q_ref,), concurrency=(1, 2),
+    )
+    top = sims.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
+    return top.select_columns(["vec_id"]).to_pandas()
+
+
+def _filter_ivf_lists(batch: pa.Table, lists: list[int]) -> pa.Table:
+    mask = pc.is_in(batch["ivf_list"], value_set=pa.array(lists, type=pa.int64()))
+    return batch.filter(pc.fill_null(mask, False))
+
+
 def embed_neardup(sf_dir: str, threshold: float = 0.999) -> pd.DataFrame:
     """Embedding-cosine near-dup: block by LSH bucket, exact cosine within
     blocks, survivors = min vec_id per near-dup cluster edge."""

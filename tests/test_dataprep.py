@@ -121,6 +121,21 @@ def test_ann_lsh_subset_and_self_hit(sf_dir):
     assert lsh == want
 
 
+def test_ann_ivf_full_probe_equals_bruteforce(sf_dir):
+    """nprobe == nlist must degenerate to EXACT brute-force top-k."""
+    exact = list(to_df(dataprep.ann_cosine_topk(sf_dir))["vec_id"])
+    ivf_full = list(dataprep.ann_ivf_topk(sf_dir, nlist=16, nprobe=16)["vec_id"])
+    assert ivf_full == exact
+
+
+def test_ann_ivf_partial_probe_sane(sf_dir):
+    got = list(dataprep.ann_ivf_topk(sf_dir, nlist=16, nprobe=4)["vec_id"])
+    assert got[0] == 0  # the query vector's own list is always probed first
+    exact = list(to_df(dataprep.ann_cosine_topk(sf_dir))["vec_id"])
+    recall = len(set(got) & set(exact)) / len(exact)
+    assert recall >= 0.2  # random vectors scatter; sanity bound only
+
+
 def test_embed_neardup_keeps_all_when_no_dups(sf_dir):
     got = dataprep.embed_neardup(sf_dir)
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
