@@ -74,21 +74,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagged_conv_turns": windows.flagged_conv_turns,
         "peaks": windows.peaks,
         "stats": windows.stats,
-        # training-data ops (documents / embeddings)
+        # training-data ops (documents / embeddings) — every one
+        # oracle-checked: the dedup/ANN/fingerprint oracles replay the same
+        # deterministic algorithm in DuckDB from shared hashing.py constants
         "dedup_exact": dataprep.dedup_exact,
-        "dedup_minhash": dataprep.dedup_minhash,          # rows-only
-        "dedup_ngram_jaccard": dataprep.dedup_ngram_jaccard,  # rows-only
-        "dedup_simhash": dataprep.dedup_simhash,          # rows-only
+        "dedup_minhash": dataprep.dedup_minhash,
+        "dedup_ngram_jaccard": dataprep.dedup_ngram_jaccard,
+        "dedup_simhash": dataprep.dedup_simhash,
         "docs_token_stats": dataprep.docs_token_stats,
         "docs_bpe_tokens": dataprep.docs_bpe_tokens,
         "docs_quality": dataprep.docs_quality,
         "docs_quality_filter": dataprep.docs_quality_filter,
-        "docs_lang_id": dataprep.docs_lang_id,            # rows-only
-        "docs_fingerprint": dataprep.docs_fingerprint,    # rows-only
+        "docs_lang_id": dataprep.docs_lang_id,
+        "docs_fingerprint": dataprep.docs_fingerprint,
         "ann_cosine_topk": dataprep.ann_cosine_topk,
-        "ann_lsh_topk": dataprep.ann_lsh_topk,            # rows-only
-        "ann_ivf_topk": dataprep.ann_ivf_topk,            # rows-only
-        "embed_neardup": dataprep.embed_neardup,          # rows-only
+        "ann_lsh_topk": dataprep.ann_lsh_topk,
+        "ann_ivf_topk": dataprep.ann_ivf_topk,
+        "embed_neardup": dataprep.embed_neardup,
     }
 
 

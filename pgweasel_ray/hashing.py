@@ -1,0 +1,373 @@
+"""Shared hash primitives for the dataprep operators — Python AND SQL.
+
+The round-1 parity trick (regex/needle tables consumed by both the Arrow
+kernels and the generated DuckDB oracle SQL) extended to the dedup / ANN /
+fingerprint family: every hash here is defined over **mod-prime int64
+arithmetic** (p = 2^31-1) so the identical computation is expressible as
+DuckDB list-lambda SQL. Both sides — the distributed Ray stages in
+``pipelines/dataprep.py`` and the oracle SQL in ``oracle_queries.py`` —
+derive from the constants and generators in this module, so a Ray/oracle
+mismatch can only come from the distributed pipeline, never from two
+hand-maintained hash definitions drifting apart.
+
+Why mod-prime instead of the usual 64-bit wraparound: DuckDB BIGINT errors
+on overflow, so parity needs every intermediate product to fit in int64.
+With p = 2^31-1 and all operands < p, ``a*h + b`` < 2^62 + 2^31 < 2^63.
+
+Determinism: all randomized constants (MinHash permutations, band mixers,
+LSH hyperplanes, IVF training seed) come from seeded ``default_rng`` and are
+embedded in the generated SQL as literals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+P = 2147483647           # 2^31 - 1 (Mersenne prime); every hash value < P
+B1 = 1000003             # polynomial bases (primes < 2^31)
+B2 = 1000033
+
+# --- MinHash-LSH parameters ---------------------------------------------------
+MH_NUM_PERM = 64
+MH_BANDS = 16
+MH_ROWS = MH_NUM_PERM // MH_BANDS    # 4 signature slots per band
+MH_SHINGLE = 3                       # word 3-grams
+GRAM_SEP = "\x1f"                    # joins words inside a shingle
+GRAM_PAD = "\x02"                    # pads docs shorter than the shingle
+
+_mh_rng = np.random.default_rng(12345)
+MH_A = _mh_rng.integers(1, P, MH_NUM_PERM, dtype=np.int64)
+MH_B = _mh_rng.integers(0, P, MH_NUM_PERM, dtype=np.int64)
+MH_C = _mh_rng.integers(1, P, MH_ROWS, dtype=np.int64)   # band-hash mixers
+
+# --- SimHash parameters -------------------------------------------------------
+SH_BITS = 62             # two 31-bit poly hashes concatenated
+SH_BANDS = 4             # 4 × 16-bit band keys (top 2 bits dead)
+SH_BAND_BITS = 16
+SH_HAM_MAX = 3           # 4 bands guarantee recall for hamming <= 3
+
+# --- fingerprint (winnowing-style min of k-gram rolling hashes) ---------------
+FP_K = 8
+FP_POWERS = np.empty(FP_K, dtype=np.int64)
+_acc = 1
+for _i in range(FP_K - 1, -1, -1):
+    FP_POWERS[_i] = _acc
+    _acc = (_acc * B1) % P
+
+# --- n-gram Jaccard threshold (exact integer comparison on both sides) --------
+JC_NUM = 7               # J >= 7/10  <=>  10*|A∩B| >= 7*|A∪B|
+JC_DEN = 10
+
+# --- ANN constants ------------------------------------------------------------
+LSH_N_PLANES = 8
+LSH_SEED = 777
+IVF_SEED = 424242
+IVF_TRAIN_SAMPLE = 100_000   # bounded driver-side k-means training sample
+
+
+# =============================================================================
+# Python / numpy side
+# =============================================================================
+
+def poly_hash(s: str, base: int = B1) -> int:
+    """Left fold over codepoints: acc = cp0; acc = (acc*base + cp) % P.
+
+    Matches DuckDB ``list_reduce`` (which seeds the fold with the first list
+    element). Empty string hashes to 0.
+    """
+    acc = 0
+    for i, ch in enumerate(s):
+        c = ord(ch)
+        acc = c if i == 0 else (acc * base + c) % P
+    return acc
+
+
+def tokens(text: str) -> list[str]:
+    """Word tokens: lowercase, split on whitespace (ASCII corpus ⇒ identical
+    to DuckDB ``regexp_extract_all(lower(text), '\\S+')``)."""
+    return text.lower().split()
+
+
+def shingles(words: list[str], n: int = MH_SHINGLE) -> list[str]:
+    """Word n-grams joined with GRAM_SEP; docs with < n words are padded with
+    GRAM_PAD tokens so every doc has >= 1 shingle."""
+    if len(words) < n:
+        words = words + [GRAM_PAD] * (n - len(words))
+    return [GRAM_SEP.join(words[i:i + n]) for i in range(len(words) - n + 1)]
+
+
+def gram_hashes(text: str) -> np.ndarray:
+    """int64 poly hashes of a doc's shingles (with duplicates)."""
+    return np.array([poly_hash(g) for g in shingles(tokens(text))],
+                    dtype=np.int64)
+
+
+def minhash_signature(hs: np.ndarray) -> np.ndarray:
+    """(MH_NUM_PERM,) signature: min over shingle hashes of (a*h + b) % P."""
+    return ((MH_A[:, None] * hs[None, :] + MH_B[:, None]) % P).min(axis=1)
+
+
+def band_hashes(sig: np.ndarray) -> np.ndarray:
+    """(MH_BANDS,) band keys: sum of mixed signature slots mod P."""
+    slots = sig.reshape(MH_BANDS, MH_ROWS)
+    return ((slots * MH_C[None, :]) % P).sum(axis=1) % P
+
+
+def simhash62(words: list[str]) -> int:
+    """62-bit SimHash: per-word h = poly_B1 | (poly_B2 << 31); bit i of the
+    result is the majority vote of bit i over word hashes. Empty doc → 0."""
+    if not words:
+        return 0
+    h1 = np.array([poly_hash(w, B1) for w in words], dtype=np.int64)
+    h2 = np.array([poly_hash(w, B2) for w in words], dtype=np.int64)
+    h = h1 | (h2 << np.int64(31))
+    bits = np.arange(SH_BITS, dtype=np.int64)
+    votes = ((h[:, None] >> bits[None, :]) & 1).sum(axis=0)
+    return int(((votes * 2 > len(words)).astype(np.int64) << bits).sum())
+
+
+def simhash_band_keys(sim: int) -> list[int]:
+    return [(sim >> (SH_BAND_BITS * t)) & ((1 << SH_BAND_BITS) - 1)
+            for t in range(SH_BANDS)]
+
+
+def fingerprint(text: str) -> int:
+    """Min over k-gram windows of the codepoint polynomial hash
+    (sum cp_j * B1^(k-1-j) mod P). Texts shorter than k are padded with
+    codepoint 1."""
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    if len(codes) < FP_K:
+        codes = np.pad(codes, (0, FP_K - len(codes)), constant_values=1)
+    win = np.lib.stride_tricks.sliding_window_view(codes, FP_K)
+    return int((((win * FP_POWERS[None, :]) % P).sum(axis=1) % P).min())
+
+
+# --- vectorized batch kernels (the Ray-stage hot path) ------------------------
+
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _powers(base: int, upto: int) -> np.ndarray:
+    """base^k % P for k in [0, upto] (cached, grown geometrically)."""
+    tbl = _POW_CACHE.get(base)
+    if tbl is None or len(tbl) <= upto:
+        n = max(1024, 2 * (upto + 1))
+        tbl = np.empty(n, dtype=np.int64)
+        tbl[0] = 1
+        for k in range(1, n):
+            tbl[k] = (tbl[k - 1] * base) % P
+        _POW_CACHE[base] = tbl
+    return tbl
+
+
+def word_hash_array(words: list[str], base: int = B1) -> np.ndarray:
+    """poly_hash() of every word, vectorized: one flat codepoint array for
+    the whole list, per-char modmul, segment sums via ``np.add.reduceat``.
+    Equivalent to ``[poly_hash(w, base) for w in words]`` (asserted in
+    tests) without a per-character Python loop."""
+    if not words:
+        return np.empty(0, dtype=np.int64)
+    lens = np.array([len(w) for w in words], dtype=np.int64)
+    flat = np.frombuffer(
+        "".join(words).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+    revpos = np.repeat(lens, lens) - 1 - pos
+    pw = _powers(base, int(lens.max()))[revpos]
+    prod = (flat * pw) % P           # < 2^52 before mod: cp<2^21 * pow<2^31
+    return np.add.reduceat(prod, starts) % P
+
+
+def gram_hash_array(words: list[str], n: int = MH_SHINGLE) -> np.ndarray:
+    """poly_hash() of every word-n-gram (words joined with GRAM_SEP, padded
+    with GRAM_PAD below n words) — built from per-word hashes with the
+    polynomial concat identity h(a||b) = h(a)*B^len(b) + h(b) (mod P), so
+    the char-level work is one vectorized pass. Equals
+    ``[poly_hash(g) for g in shingles(words, n)]`` (asserted in tests)."""
+    if len(words) < n:
+        words = words + [GRAM_PAD] * (n - len(words))
+    hw = word_hash_array(words)
+    lens = np.array([len(w) for w in words], dtype=np.int64)
+    ptab = _powers(B1, int(lens.max()) + 1)
+    pw = ptab[lens]                       # B^len(w) % P
+    sep = ord(GRAM_SEP)
+    g = hw[: len(words) - n + 1].copy()
+    for j in range(1, n):
+        hj = hw[j : len(words) - n + 1 + j]
+        pj = pw[j : len(words) - n + 1 + j]
+        # append SEP + word_j:  g = g*B^(1+len) + (sep*B^len + h(word_j))
+        g = (g * ((pj * B1) % P) + ((sep * pj) % P + hj)) % P
+    return g
+
+
+def simhash62_batch(hs: np.ndarray) -> int:
+    """simhash62 from precomputed 62-bit word hashes."""
+    if len(hs) == 0:
+        return 0
+    bits = np.arange(SH_BITS, dtype=np.int64)
+    votes = ((hs[:, None] >> bits[None, :]) & 1).sum(axis=0)
+    return int(((votes * 2 > len(hs)).astype(np.int64) << bits).sum())
+
+
+def prefix_length(m: int, num: int = JC_NUM, den: int = JC_DEN) -> int:
+    """Jaccard prefix-filter length: m - ceil(t*m) + 1 (t = num/den).
+
+    Exact-recall guarantee: if J(A,B) >= t then the globally smallest common
+    shingle hash lies within both docs' prefixes, so every qualifying pair
+    shares a prefix hash (Chaudhuri et al., SSJoin / PPJoin prefix filter).
+    """
+    ceil_tm = -((-num * m) // den)      # ceil(num*m/den) in exact int math
+    return max(1, min(m, m - ceil_tm + 1))
+
+
+def lsh_planes(dim: int, n_planes: int = LSH_N_PLANES,
+               seed: int = LSH_SEED) -> np.ndarray:
+    """Seeded random hyperplanes (dim, n_planes) — identical floats are
+    embedded into the oracle SQL via :func:`sql_planes_literal`."""
+    return np.random.default_rng(seed).standard_normal((dim, n_planes))
+
+
+# =============================================================================
+# SQL side (DuckDB) — each generator mirrors one Python function above
+# =============================================================================
+
+def _sql_list(vals) -> str:
+    return "[" + ", ".join(str(int(v)) for v in vals) + "]"
+
+
+def sql_codepoints(expr: str) -> str:
+    """Codepoint list of a string expression (1-based char indexing)."""
+    return (f"list_transform(range(1, length({expr})+1), "
+            f"i -> unicode({expr}[i])::BIGINT)")
+
+
+def sql_poly_hash(expr: str, base: int = B1) -> str:
+    """poly_hash() of a string expression; empty string → 0."""
+    return (f"CASE WHEN length({expr}) = 0 THEN 0 ELSE "
+            f"list_reduce({sql_codepoints(expr)}, "
+            f"(acc, c) -> (acc*{base} + c) % {P}) END")
+
+
+def sql_words(expr: str = "text") -> str:
+    return rf"regexp_extract_all(lower({expr}), '\S+')"
+
+
+def sql_gram_hashes_cte(table: str = "documents") -> str:
+    """CTE chain ``w → padded → grams → gh`` ending with
+    gh(doc_id, hs list<bigint>) — the per-doc shingle hash list."""
+    pad = ord(GRAM_PAD)
+    sep = ord(GRAM_SEP)
+    n = MH_SHINGLE
+    gram_expr = f" || chr({sep}) || ".join(
+        f"words[i+{j}]" if j else "words[i]" for j in range(n)
+    )
+    return f"""w AS (
+  SELECT doc_id, {sql_words()} AS words FROM {table}
+), padded AS (
+  SELECT doc_id, CASE WHEN len(words) >= {n} THEN words
+    ELSE list_concat(words,
+                     list_transform(range(len(words), {n}), x -> chr({pad})))
+    END AS words
+  FROM w
+), grams AS (
+  SELECT doc_id,
+         list_transform(range(1, len(words)-{n - 2}), i -> {gram_expr})
+           AS grams
+  FROM padded
+), gh AS (
+  SELECT doc_id, list_transform(grams, g -> {sql_poly_hash('g')}) AS hs
+  FROM grams
+)"""
+
+
+def sql_minhash_bands_cte(table: str = "documents") -> str:
+    """CTE chain ending with bands(doc_id, band, band_hash) — the exact rows
+    MinHashBandStage emits. Permutation/mixer constants are embedded."""
+    a, b, c = _sql_list(MH_A), _sql_list(MH_B), _sql_list(MH_C)
+    mix = " + ".join(
+        f"(sig[{MH_ROWS}*t.band+{i + 1}] * ({c})[{i + 1}]) % {P}"
+        for i in range(MH_ROWS)
+    )
+    return f"""{sql_gram_hashes_cte(table)}, sig_t AS (
+  SELECT doc_id,
+         list_transform(range(1, {MH_NUM_PERM + 1}), j ->
+           list_min(list_transform(hs,
+             h -> (({a})[j] * h + ({b})[j]) % {P}))) AS sig
+  FROM gh
+), bands AS (
+  SELECT doc_id, t.band AS band, ({mix}) % {P} AS band_hash
+  FROM sig_t CROSS JOIN (SELECT unnest(range(0, {MH_BANDS})) AS band) t
+)"""
+
+
+def sql_simhash_cte(table: str = "documents") -> str:
+    """CTE chain ending with sims(doc_id, simhash) — simhash62() per doc."""
+    return f"""w AS (
+  SELECT doc_id, {sql_words()} AS words FROM {table}
+), wh AS (
+  SELECT doc_id, len(words) AS n,
+         list_transform(words, x ->
+           ({sql_poly_hash('x', B1)})
+           | (({sql_poly_hash('x', B2)}) << 31)) AS hs
+  FROM w
+), sims AS (
+  SELECT doc_id, CASE WHEN n = 0 THEN 0 ELSE
+    list_sum(list_transform(range(0, {SH_BITS}), i ->
+      CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> i) & 1)) > n
+           THEN (1::BIGINT << i) ELSE 0 END)) END AS simhash
+  FROM wh
+)"""
+
+
+def sql_fingerprint_select(table: str = "documents") -> str:
+    """Full SELECT matching fingerprint() per doc."""
+    win = " + ".join(
+        f"cp[j+{i}] * {int(FP_POWERS[i])}" if i else
+        f"cp[j] * {int(FP_POWERS[i])}"
+        for i in range(FP_K)
+    )
+    return f"""WITH raw AS (
+  SELECT doc_id, {sql_codepoints('text')} AS lst, length(text) AS n
+  FROM {table}
+), cps AS (
+  SELECT doc_id, CASE WHEN n >= {FP_K} THEN lst
+    ELSE list_concat(lst, list_transform(range(n, {FP_K}), x -> 1)) END AS cp
+  FROM raw
+)
+SELECT doc_id,
+       list_min(list_transform(range(1, len(cp)-{FP_K - 2}), j ->
+         ({win}) % {P})) % {P} AS fingerprint
+FROM cps"""
+
+
+def sql_planes_literal(dim: int) -> str:
+    """The seeded LSH hyperplanes as a DOUBLE[][] literal (exact float64
+    round-trip via repr)."""
+    pl = lsh_planes(dim)
+    rows = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in pl[i]) + "]"
+        for i in range(dim)
+    )
+    return f"[{rows}]"
+
+
+def sql_lsh_bucket_expr(vec_expr: str, dim: int) -> str:
+    """LSH bucket id of a list<float> expression: for each plane j, bit j is
+    set iff dot(vec, plane_j) > 0 — dots in float64, matching numpy."""
+    terms = " + ".join(
+        f"CASE WHEN list_inner_product(v.dv, "
+        f"list_transform(pl.planes, r -> r[{j + 1}])) > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(LSH_N_PLANES)
+    )
+    return (f"(SELECT {terms} FROM "
+            f"(SELECT list_transform({vec_expr}, x -> x::DOUBLE) AS dv) v, "
+            f"(SELECT {sql_planes_literal(dim)} AS planes) pl)")
+
+
+def sql_float_list(vals) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vals) + "]"

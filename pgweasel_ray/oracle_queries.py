@@ -3,18 +3,150 @@
 ``build_oracles(sf_dir)`` returns {query_name: SQL}. Transcript queries read
 the SAME fixture parquet the Ray pipelines read (via read_parquet on the
 fixture glob); events/documents/embeddings queries use the driver's
-pre-registered views. Queries absent from the dict are non-SQL-expressible
-(stateful/approximate) and get the driver's rows-only check; their semantics
-are asserted in tests/ instead.
+pre-registered views. Every queries() entry has an oracle: the
+dedup/ANN/fingerprint family replays the identical deterministic algorithm
+in DuckDB list-lambda SQL generated from the shared constants in
+pgweasel_ray/hashing.py (the same parity pattern the regex/needle tables
+use), with seeded randomness (MinHash permutations, LSH hyperplanes, IVF
+centroids) embedded as literals.
 """
 
 from __future__ import annotations
 
+from . import hashing as H
 from . import oracle, patterns
-from .pipelines import core
+from .pipelines import core, dataprep
 from .sources.transcripts import ensure_fixture, lookup_path, transcripts_glob
 
 _SQLSTATE = patterns.SQLSTATE_PATTERN
+
+
+def _lang_id_sql() -> str:
+    """Argmax CASE chain over the per-language function-word counts — ties
+    resolve to the earlier language (numpy argmax parity), all-zero →
+    'unknown'. Generated from dataprep.LANG_STOPWORDS (parity source)."""
+    langs = list(dataprep.LANG_STOPWORDS)
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}'))::BIGINT AS {lang}"
+        for lang, pat in dataprep.LANG_STOPWORDS.items()
+    )
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{lang} >= {o}" for o in langs[i + 1:])
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    branch_sql = "\n  ".join(branches)
+    return f"""WITH c AS (
+  SELECT doc_id,
+       {counts}
+  FROM documents
+)
+SELECT doc_id, CASE
+  WHEN greatest({', '.join(langs)}) = 0 THEN 'unknown'
+  {branch_sql}
+  ELSE '{langs[-1]}' END AS lang_pred
+FROM c"""
+
+
+def _dedup_minhash_sql() -> str:
+    """The identical banded MinHash-LSH algorithm replayed in SQL (constants
+    embedded from hashing.py); dominated = shares a band bucket with a
+    smaller doc_id."""
+    return f"""WITH {H.sql_minhash_bands_cte()}, dom AS (
+  SELECT DISTINCT b2.doc_id
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.band_hash = b2.band_hash
+   AND b1.doc_id < b2.doc_id
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dom)"""
+
+
+def _dedup_jaccard_sql() -> str:
+    """The ALL-PAIRS n-gram-Jaccard definition — an independent check that
+    the Ray pipeline's prefix filter has exact recall. Integer threshold:
+    JC_DEN*|A∩B| >= JC_NUM*|A∪B|."""
+    return f"""WITH {H.sql_gram_hashes_cte()}, g AS (
+  SELECT doc_id, list_distinct(hs) AS grams FROM gh
+), dom AS (
+  SELECT DISTINCT b.doc_id
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE {H.JC_DEN} * len(list_intersect(a.grams, b.grams))
+        >= {H.JC_NUM} * (len(a.grams) + len(b.grams)
+                         - len(list_intersect(a.grams, b.grams)))
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dom)"""
+
+
+def _dedup_simhash_sql() -> str:
+    """All-pairs hamming <= SH_HAM_MAX over simhash62 — equivalent to the
+    pipeline's band blocking (SH_BANDS bands are lossless at this radius:
+    any pair within the radius has an intact band), so this doubles as an
+    independent check of the banding."""
+    return f"""WITH {H.sql_simhash_cte()}, dom AS (
+  SELECT DISTINCT b.doc_id
+  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {H.SH_HAM_MAX}
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dom)"""
+
+
+def _ann_lsh_sql(dim: int, k: int = 10) -> str:
+    bucket = H.sql_lsh_bucket_expr("embedding", dim)
+    qbucket = H.sql_lsh_bucket_expr("qv", dim)
+    return f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+qb AS (SELECT {qbucket} AS qbucket FROM q)
+SELECT b.vec_id FROM b, q, qb
+WHERE b.bucket = qb.qbucket
+ORDER BY list_cosine_similarity(b.embedding, q.qv) DESC, b.vec_id
+LIMIT {k}"""
+
+
+def _ann_ivf_sql(sf_dir: str, k: int = 10) -> str:
+    """IVF assignment + probe + search replayed in SQL. The trained
+    centroids (seeded spherical k-means over the bounded head sample — the
+    shared training step) are embedded as literals; assignment argmax skips
+    normalization (positive per-row scale never changes an argmax)."""
+    import numpy as np
+
+    centroids = dataprep._train_centroids(sf_dir, dataprep.IVF_NLIST)
+    q = dataprep._query_vector(sf_dir)
+    qn = q / np.linalg.norm(q)
+    probed = np.argsort(-(centroids @ qn))[:dataprep.IVF_NPROBE]
+    cents = "[" + ", ".join(H.sql_float_list(c) for c in centroids) + "]"
+    probed_sql = ", ".join(str(int(x)) for x in sorted(probed))
+    return f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT vec_id, embedding,
+         list_transform({cents}, ct ->
+           list_inner_product(list_transform(embedding, x -> x::DOUBLE), ct))
+           AS dots
+  FROM embeddings
+), asg AS (
+  SELECT vec_id, embedding,
+         list_position(dots, list_max(dots)) - 1 AS ivf_list
+  FROM d
+)
+SELECT asg.vec_id FROM asg, q
+WHERE ivf_list IN ({probed_sql})
+ORDER BY list_cosine_similarity(asg.embedding, q.qv) DESC, asg.vec_id
+LIMIT {k}"""
+
+
+def _embed_neardup_sql(dim: int) -> str:
+    bucket = H.sql_lsh_bucket_expr("embedding", dim)
+    return f"""WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), dom AS (
+  SELECT DISTINCT y.vec_id
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.embedding, y.embedding)
+        > {dataprep.EMBED_NEARDUP_THRESHOLD!r}
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dom)"""
 
 
 def build_oracles(sf_dir: str) -> dict[str, str]:
@@ -199,4 +331,14 @@ SELECT e.vec_id
 FROM embeddings e, q
 ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
 LIMIT 10""",
+        # --- dedup / ANN / fingerprint: the deterministic algorithms
+        # replayed in DuckDB from the shared hashing.py constants ---
+        "dedup_minhash": _dedup_minhash_sql(),
+        "dedup_ngram_jaccard": _dedup_jaccard_sql(),
+        "dedup_simhash": _dedup_simhash_sql(),
+        "docs_lang_id": _lang_id_sql(),
+        "docs_fingerprint": H.sql_fingerprint_select(),
+        "ann_lsh_topk": _ann_lsh_sql(dataprep._embedding_dim(sf_dir)),
+        "ann_ivf_topk": _ann_ivf_sql(sf_dir),
+        "embed_neardup": _embed_neardup_sql(dataprep._embedding_dim(sf_dir)),
     }

@@ -6,16 +6,26 @@ deduplication, similarity search, and text analysis. All are Ray-Data-first:
 a vectorized/actor-pool ``map_batches`` per-doc stage, then pre-aggregated
 ``groupby`` for anything that must see groups.
 
+Every hash primitive lives in :mod:`pgweasel_ray.hashing` with an SQL twin,
+so each operator here (including MinHash/SimHash/fingerprint/ANN) is
+oracle-checked in DuckDB — the oracle replays the identical deterministic
+algorithm, proving the distributed pipeline end to end.
+
 Scale notes (10^12-doc design, tested at sf scale):
 - exact dedup groups by a 128-bit content hash (two independent seeded
   xxhashes via polars), so the shuffle moves 24-byte keys, never document
   text; survivors = Min(doc_id) per group.
 - MinHash-LSH emits (band, band_hash, doc_id) rows — b×rows of 24 bytes —
-  and groups by band key; duplicate ids are collected and removed via a
-  broadcast set here (small at test scale) — the documented scale path is a
-  hash-bucket anti-join instead of the driver-side set.
+  and groups by band key; survivors come from a hash-partitioned left-anti
+  join against the dominated-id set (no driver-side id set).
+- n-gram-Jaccard dedup is EXACT: prefix-filtered candidate pairs (per-doc
+  prefix of the hash-sorted shingle set — guaranteed recall at the
+  threshold), then distributed verification via two hash joins that ship
+  int64 shingle-hash lists, never text, and a vectorized Jaccard stage.
 - ANN keeps the query matrix broadcast (ray.put once) and does a numpy
   matmul per batch; top-k is a distributed sort+limit over (sim, vec_id).
+  IVF centroids train on a bounded head sample (IVF_TRAIN_SAMPLE rows),
+  never a full-table driver read.
 """
 
 from __future__ import annotations
@@ -27,9 +37,9 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Min
 
-from .common import grouped_count
+from .. import hashing as H
 
 STOPWORDS_PATTERN = r"\b(the|and|of|to|a|in|is|it)\b"
 TOKEN_PATTERN = r"\S+"
@@ -205,8 +215,8 @@ def docs_quality_filter(sf_dir: str) -> Dataset:
 
 def docs_lang_id(sf_dir: str) -> Dataset:
     """Language ID via per-language function-word hit counts (vectorized
-    RE2); accuracy is asserted against the table's ``lang`` column in
-    tests, not via SQL oracle."""
+    RE2). Oracle: the same counts + argmax CASE chain in DuckDB (ties →
+    first language in dict order, all-zero → 'unknown')."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _lang_id, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -214,37 +224,31 @@ def docs_lang_id(sf_dir: str) -> Dataset:
 
 # --- fingerprint (rolling hash) ---------------------------------------------
 
-FP_K = 8           # rolling window (codepoints)
-FP_BASE = np.uint64(1099511628211)
-
-
 class FingerprintStage:
     """Winnowing-style fingerprint: min of k-gram rolling hashes over the
-    codepoint sequence (uint64 wraparound arithmetic — deterministic across
-    platforms). Stateful stage: the power vector is built once per actor."""
+    codepoint sequence — :func:`pgweasel_ray.hashing.fingerprint`, mod-prime
+    arithmetic with an exact DuckDB twin (sql_fingerprint_select)."""
 
-    def __init__(self, k: int = FP_K):
-        self.k = k
-        with np.errstate(over="ignore"):
-            self.powers = FP_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    def __init__(self):
+        self.powers = H.FP_POWERS
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        out = np.zeros(len(texts), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for i, t in enumerate(texts):
-                codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
-                    np.uint64
-                )
-                if len(codes) < self.k:
-                    codes = np.pad(codes, (0, self.k - len(codes)), constant_values=1)
-                win = np.lib.stride_tricks.sliding_window_view(codes, self.k)
-                hashes = (win * self.powers).sum(axis=1)
-                out[i] = hashes.min()
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            codes = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            if len(codes) < H.FP_K:
+                codes = np.pad(codes, (0, H.FP_K - len(codes)),
+                               constant_values=1)
+            win = np.lib.stride_tricks.sliding_window_view(codes, H.FP_K)
+            out[i] = (((win * self.powers[None, :]) % H.P).sum(axis=1)
+                      % H.P).min()
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "fingerprint": pa.array(out.astype(np.int64), type=pa.int64()),
+                "fingerprint": pa.array(out, type=pa.int64()),
             }
         )
 
@@ -258,61 +262,37 @@ def docs_fingerprint(sf_dir: str) -> Dataset:
 
 # --- MinHash-LSH near-dup ----------------------------------------------------
 
-MH_NUM_PERM = 64
-MH_BANDS = 16          # 16 bands × 4 rows
-MH_SHINGLE = 3         # word 3-grams
-_MERSENNE = np.uint64((1 << 61) - 1)
-
-
 class MinHashBandStage:
-    """doc → (band, band_hash, doc_id) rows. Signature: 64 universal-hash
-    permutations over word-3-gram hashes; bands of 4 signature slots."""
+    """doc → (band, band_hash, doc_id) rows.
 
-    def __init__(self, num_perm: int = MH_NUM_PERM, bands: int = MH_BANDS,
-                 shingle: int = MH_SHINGLE):
-        rng = np.random.default_rng(12345)
-        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
-        self.num_perm, self.bands, self.shingle = num_perm, bands, shingle
-        self.rows_per_band = num_perm // bands
+    Signature: MH_NUM_PERM universal-hash permutations over word-shingle
+    poly-hashes (hashing.gram_hash_array — flat-codepoint vectorized);
+    band keys mix MH_ROWS signature slots. Identical rows are produced by
+    hashing.sql_minhash_bands_cte for the oracle."""
 
-    def _shingle_hashes(self, text: str) -> np.ndarray:
-        words = text.lower().split()
-        if len(words) < self.shingle:
-            words = words + ["\x00"] * (self.shingle - len(words))
-        from hashlib import blake2b
-
-        grams = {
-            "\x1f".join(words[i : i + self.shingle])
-            for i in range(len(words) - self.shingle + 1)
-        }
-        return np.frombuffer(
-            b"".join(
-                blake2b(g.encode(), digest_size=8).digest() for g in sorted(grams)
-            ),
-            dtype=np.uint64,
-        )
+    def __init__(self):
+        self.a = H.MH_A[:, None]
+        self.b = H.MH_B[:, None]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        out_band, out_hash, out_doc = [], [], []
-        with np.errstate(over="ignore"):
-            for doc_id, text in zip(doc_ids, texts):
-                sh = self._shingle_hashes(text)
-                # (num_perm, n_shingles) universal hashing, min per row
-                sig = ((self.a[:, None] * sh[None, :] + self.b[:, None])
-                       % _MERSENNE).min(axis=1)
-                bands = sig.reshape(self.bands, self.rows_per_band)
-                bh = (bands * np.uint64(0x9E3779B97F4A7C15)).sum(axis=1)
-                out_band.extend(range(self.bands))
-                out_hash.extend(bh.astype(np.int64))
-                out_doc.extend([doc_id] * self.bands)
+        out_band = np.tile(np.arange(H.MH_BANDS, dtype=np.int32),
+                           len(doc_ids))
+        out_hash = np.empty(len(doc_ids) * H.MH_BANDS, dtype=np.int64)
+        for i, text in enumerate(texts):
+            hs = H.gram_hash_array(H.tokens(text))
+            sig = ((self.a * hs[None, :] + self.b) % H.P).min(axis=1)
+            out_hash[i * H.MH_BANDS:(i + 1) * H.MH_BANDS] = H.band_hashes(sig)
         return pa.table(
             {
                 "band": pa.array(out_band, type=pa.int32()),
                 "band_hash": pa.array(out_hash, type=pa.int64()),
-                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "doc_id": pa.array(
+                    np.repeat(np.asarray(doc_ids, dtype=np.int64),
+                              H.MH_BANDS),
+                    type=pa.int64(),
+                ),
             }
         )
 
@@ -323,11 +303,11 @@ def _emit_dominated(df: pd.DataFrame) -> pd.DataFrame:
     return dup if len(dup) else pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
 
 
-def _anti_join_survivors(sf_dir: str, dups: Dataset,
-                         id_col: str = "doc_id") -> pd.DataFrame:
+def _survivors(sf_dir: str, dups: Dataset, id_col: str = "doc_id") -> Dataset:
     """Distributed survivors = ids LEFT ANTI JOIN dominated ids — the
-    hash-partitioned join is the 10^12-scale path (no driver-side id set);
-    only the final (small) survivor id list is collected."""
+    hash-partitioned join is the 10^12-scale path (no driver-side id set).
+    ``dups`` is materialized ONCE (it is the small dominated-id set), both
+    to size the join and to avoid re-executing the dedup pipeline."""
     table = "documents.parquet" if id_col == "doc_id" else "embeddings.parquet"
     import ray.data
 
@@ -338,23 +318,23 @@ def _anti_join_survivors(sf_dir: str, dups: Dataset,
     # key resolution — re-type every block explicitly
     dups = dups.map_batches(
         _coerce_id_schema, batch_format="pandas", fn_kwargs={"id_col": id_col}
-    )
+    ).materialize()
     n_dups = dups.count()
     if n_dups == 0:
-        out = all_ids.to_pandas()[id_col]
-    else:
-        # empty right-side partitions break key resolution in Ray's hash
-        # join, so partitions scale with the dup count (at 10^12-doc scale
-        # every partition is dense and this is simply n_cpus-sized)
-        survivors = all_ids.join(
-            dups, join_type="left_anti",
-            num_partitions=max(1, min(8, n_dups // 8)),
-            on=(id_col,),
-        )
-        out = survivors.to_pandas()[id_col]
-    return pd.DataFrame(
-        {id_col: out.sort_values().reset_index(drop=True)}
+        return all_ids
+    # empty right-side partitions break key resolution in Ray's hash
+    # join, so partitions scale with the dup count (at 10^12-doc scale
+    # every partition is dense and this is simply n_cpus-sized)
+    return all_ids.join(
+        dups, join_type="left_anti",
+        num_partitions=max(1, min(8, n_dups // 8)),
+        on=(id_col,),
     )
+
+
+def _collect_ids(ds: Dataset, id_col: str) -> pd.DataFrame:
+    out = ds.to_pandas()[id_col]
+    return pd.DataFrame({id_col: out.sort_values().reset_index(drop=True)})
 
 
 def _coerce_id_schema(df: pd.DataFrame, id_col: str) -> pa.Table:
@@ -362,10 +342,10 @@ def _coerce_id_schema(df: pd.DataFrame, id_col: str) -> pa.Table:
     return pa.table({id_col: pa.array(vals, type=pa.int64())})
 
 
-def dedup_minhash(sf_dir: str) -> pd.DataFrame:
+def dedup_minhash_ds(sf_dir: str) -> Dataset:
     """MinHash-LSH near-dup removal: survivors = docs never sharing an LSH
     band bucket with a smaller doc_id, via a distributed left-anti join on
-    the dominated-id set."""
+    the dominated-id set. Library path — returns the (lazy) Dataset."""
     band_rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         MinHashBandStage, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, 4),
@@ -373,11 +353,59 @@ def dedup_minhash(sf_dir: str) -> pd.DataFrame:
     dups = band_rows.groupby(["band", "band_hash"]).map_groups(
         _emit_dominated, batch_format="pandas"
     )
-    return _anti_join_survivors(sf_dir, dups)
+    return _survivors(sf_dir, dups)
+
+
+def dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    return _collect_ids(dedup_minhash_ds(sf_dir), "doc_id")
+
+
+# --- exact n-gram-Jaccard dedup (prefix filter + distributed verify) ---------
+
+class GramSetStage:
+    """doc → (doc_id, grams=list<int64> sorted distinct shingle hashes, m).
+
+    The sorted-distinct hash list is both the verification payload and the
+    global prefix order (hash value ascending)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"]
+        texts = batch["text"].to_pylist()
+        grams = [np.unique(H.gram_hash_array(H.tokens(t))) for t in texts]
+        return pa.table(
+            {
+                "doc_id": doc_ids,
+                "grams": pa.array([g.tolist() for g in grams],
+                                  type=pa.list_(pa.int64())),
+                "m": pa.array([len(g) for g in grams], type=pa.int64()),
+            }
+        )
+
+
+def _prefix_rows(batch: pa.Table) -> pa.Table:
+    """Explode each doc's Jaccard prefix (first prefix_length(m) hashes of
+    the sorted shingle set) into (gram_hash, doc_id) rows — the only data
+    the candidate-generation shuffle moves."""
+    out_h: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    grams = batch["grams"].to_pylist()
+    for i, g in enumerate(grams):
+        pl = H.prefix_length(len(g))
+        out_h.append(np.asarray(g[:pl], dtype=np.int64))
+        out_d.append(np.full(pl, ids[i], dtype=np.int64))
+    return pa.table(
+        {
+            "gram_hash": pa.array(np.concatenate(out_h) if out_h else [],
+                                  type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d) if out_d else [],
+                               type=pa.int64()),
+        }
+    )
 
 
 def _emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs (a < b) within one LSH band bucket."""
+    """Candidate pairs (a < b) within one bucket (band or prefix-hash)."""
     ids = sorted(set(df["doc_id"]))
     if len(ids) < 2:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
@@ -388,110 +416,157 @@ def _emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _word_ngrams(text: str, n: int) -> set[str]:
-    words = text.lower().split()
-    if len(words) < n:
-        return {" ".join(words)} if words else set()
-    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+def _coerce_pair_schema(df: pd.DataFrame) -> pa.Table:
+    a = df["a"].to_numpy() if "a" in df.columns else []
+    b = df["b"].to_numpy() if "b" in df.columns else []
+    return pa.table({"a": pa.array(a, type=pa.int64()),
+                     "b": pa.array(b, type=pa.int64())})
 
 
-def dedup_ngram_jaccard(sf_dir: str, n: int = MH_SHINGLE,
-                        threshold: float = 0.7) -> pd.DataFrame:
-    """Verified near-dup removal: MinHash-LSH proposes candidate pairs, the
-    exact word-n-gram Jaccard similarity verifies them; a doc is dropped iff
-    J(doc, smaller-id doc) ≥ threshold for some verified pair. (The verify
-    step is what plain LSH dedup lacks — no false-positive drops.)
+def _jaccard_dominated(batch: pa.Table) -> pa.Table:
+    """Vectorized-per-pair verification: J = |A∩B| / |A∪B| via intersect of
+    the two sorted-unique hash lists (shipped as packed-int64 binary — Ray's
+    hash join rejects list payload columns); emits dominated (larger)
+    doc_ids. Exact integer threshold: JC_DEN*inter >= JC_NUM*union."""
+    a_grams = batch["a_grams"].to_pylist()
+    b_grams = batch["b_grams"].to_pylist()
+    bs = batch["b"].to_numpy(zero_copy_only=False)
+    keep = np.zeros(len(bs), dtype=bool)
+    for i, (ga, gb) in enumerate(zip(a_grams, b_grams)):
+        ga = np.frombuffer(ga, dtype=np.int64)
+        gb = np.frombuffer(gb, dtype=np.int64)
+        inter = len(np.intersect1d(ga, gb, assume_unique=True))
+        union = len(ga) + len(gb) - inter
+        keep[i] = union > 0 and H.JC_DEN * inter >= H.JC_NUM * union
+    return pa.table({"doc_id": pa.array(bs[keep], type=pa.int64())})
 
-    Scale path: the verification join ships candidate pairs (two int64s) to
-    a hash-bucket join against the documents table keyed by doc_id; here the
-    candidate set is collected and verified driver-side."""
-    band_rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHashBandStage, batch_format="pyarrow", zero_copy_batch=True,
+
+def dedup_ngram_jaccard_ds(sf_dir: str) -> Dataset:
+    """EXACT near-dup removal at J >= JC_NUM/JC_DEN over distinct word
+    n-gram sets: a doc is dropped iff some smaller-id doc has Jaccard
+    similarity >= the threshold.
+
+    Fully distributed and exact:
+    1. GramSetStage: per-doc sorted-distinct shingle-hash list (int64).
+    2. Prefix filter: only the first m-ceil(t*m)+1 hashes per doc enter the
+       candidate shuffle — the SSJoin/PPJoin prefix guarantee makes recall
+       exact (any pair with J >= t shares a prefix hash), with ~(1-t)·m
+       rows per doc instead of all-pairs.
+    3. Candidates: groupby(gram_hash) pairs, deduplicated by (a, b).
+    4. Verification: two hash joins attach both gram lists (int64 payloads,
+       never text), then a vectorized Jaccard stage emits dominated ids.
+    5. Survivors: left-anti join (as all dedups here).
+
+    The DuckDB oracle is the all-pairs definition itself — an independent
+    check that the prefix filter loses nothing."""
+    gram_sets = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        GramSetStage, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, 4),
+    ).materialize()  # consumed three times below (prefix + two join sides)
+
+    prefix = gram_sets.map_batches(
+        _prefix_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
+    pairs = prefix.groupby("gram_hash").map_groups(
         _emit_pairs, batch_format="pandas"
-    ).to_pandas().drop_duplicates()
-    all_docs = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
-    texts = dict(zip(all_docs["doc_id"], all_docs["text"]))
-    grams: dict[int, set[str]] = {}
+    ).map_batches(_coerce_pair_schema, batch_format="pandas")
+    pairs = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+    pairs = pairs.select_columns(["a", "b"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return _docs(sf_dir, ["doc_id"])
 
-    def g(i: int) -> set[str]:
-        if i not in grams:
-            grams[i] = _word_ngrams(texts[i], n)
-        return grams[i]
+    n_parts = max(1, min(8, n_pairs // 8))
+    a_side = gram_sets.map_batches(
+        _rename_grams, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"id_to": "a", "grams_to": "a_grams"},
+    )
+    b_side = gram_sets.map_batches(
+        _rename_grams, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"id_to": "b", "grams_to": "b_grams"},
+    )
+    joined = pairs.join(a_side, join_type="inner", on=("a",),
+                        num_partitions=n_parts)
+    joined = joined.join(b_side, join_type="inner", on=("b",),
+                         num_partitions=n_parts)
+    dom = joined.map_batches(
+        _jaccard_dominated, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _survivors(sf_dir, dom)
 
-    dropped: set[int] = set()
-    for a, b in sorted(zip(pairs["a"], pairs["b"])):
-        ga, gb = g(int(a)), g(int(b))
-        union = len(ga | gb)
-        if union and len(ga & gb) / union >= threshold:
-            dropped.add(int(b))
-    out = all_docs["doc_id"][~all_docs["doc_id"].isin(dropped)]
-    return pd.DataFrame({"doc_id": out.sort_values().reset_index(drop=True)})
+
+def _rename_grams(batch: pa.Table, id_to: str, grams_to: str) -> pa.Table:
+    """Join-side payload: the sorted gram-hash list packed into one binary
+    cell per doc (np.int64.tobytes) — Ray's hash join ships binary fine but
+    rejects list columns."""
+    grams = batch["grams"].to_pylist()
+    packed = [np.asarray(g, dtype=np.int64).tobytes() for g in grams]
+    return pa.table({id_to: batch["doc_id"],
+                     grams_to: pa.array(packed, type=pa.binary())})
+
+
+def dedup_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    return _collect_ids(dedup_ngram_jaccard_ds(sf_dir), "doc_id")
 
 
 # --- SimHash near-dup --------------------------------------------------------
 
-SH_BANDS = 4  # 4 × 16-bit bands → catches hamming distance ≤ 3
-
-
 class SimHashBandStage:
-    """64-bit SimHash over word hashes; emits 16-bit band keys for blocking."""
+    """62-bit SimHash (hashing.simhash62: two 31-bit poly word-hashes
+    concatenated, per-bit majority vote); emits SH_BANDS 16-bit band keys
+    for blocking. Oracle twin: hashing.sql_simhash_cte."""
 
     def __init__(self):
-        self.bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        self.bits = np.arange(H.SH_BITS, dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from hashlib import blake2b
-
         doc_ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        sims = np.zeros(len(texts), dtype=np.uint64)
+        sims = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            words = t.lower().split()
+            words = H.tokens(t)
             if not words:
+                sims[i] = 0
                 continue
-            wh = np.frombuffer(
-                b"".join(blake2b(w.encode(), digest_size=8).digest()
-                         for w in words),
-                dtype=np.uint64,
-            )
-            votes = ((wh[:, None] & self.bits[None, :]) != 0).sum(axis=0)
-            sims[i] = np.uint64(
-                ((votes * 2 > len(wh)).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
-            )
-        out_band, out_key, out_doc, out_sim = [], [], [], []
-        for doc_id, s in zip(doc_ids, sims):
-            s_signed = int(s.view(np.int64))  # int64 reinterpretation for Arrow
-            for b in range(SH_BANDS):
-                out_band.append(b)
-                out_key.append(int((s >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
-                out_doc.append(doc_id)
-                out_sim.append(s_signed)
+            hs = (H.word_hash_array(words, H.B1)
+                  | (H.word_hash_array(words, H.B2) << np.int64(31)))
+            sims[i] = H.simhash62_batch(hs)
+        n = len(doc_ids)
+        bands = np.tile(np.arange(H.SH_BANDS, dtype=np.int32), n)
+        shifts = np.tile(
+            np.arange(H.SH_BANDS, dtype=np.int64) * H.SH_BAND_BITS, n
+        )
+        rep_sims = np.repeat(sims, H.SH_BANDS)
+        keys = (rep_sims >> shifts) & ((1 << H.SH_BAND_BITS) - 1)
         return pa.table(
             {
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_key, type=pa.int64()),
-                "doc_id": pa.array(out_doc, type=pa.int64()),
-                "simhash": pa.array(out_sim, type=pa.int64()),
+                "band": pa.array(bands, type=pa.int32()),
+                "band_hash": pa.array(keys, type=pa.int64()),
+                "doc_id": pa.array(
+                    np.repeat(np.asarray(doc_ids, dtype=np.int64), H.SH_BANDS),
+                    type=pa.int64(),
+                ),
+                "simhash": pa.array(rep_sims, type=pa.int64()),
             }
         )
 
 
 def _emit_simhash_dups(df: pd.DataFrame) -> pd.DataFrame:
-    """Within a band bucket, dominated = hamming ≤ 3 to a smaller doc_id."""
+    """Within a band bucket, dominated = hamming <= SH_HAM_MAX to a smaller
+    doc_id. (With SH_BANDS bands the blocking is lossless at this radius —
+    any pair within hamming SH_HAM_MAX shares an intact band — which is why
+    the all-pairs DuckDB oracle matches exactly.)"""
     if len(df) < 2:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
     df = df.sort_values("doc_id")
-    sims = df["simhash"].to_numpy().view(np.uint64)
+    sims = df["simhash"].to_numpy()
     ids = df["doc_id"].to_numpy()
     x = sims[None, :] ^ sims[:, None]
     ham = np.zeros_like(x, dtype=np.int64)
-    for _ in range(64):
-        ham += (x & np.uint64(1)).astype(np.int64)
-        x >>= np.uint64(1)
-    close = ham <= 3
+    for _ in range(H.SH_BITS):
+        ham += x & 1
+        x >>= 1
+    close = ham <= H.SH_HAM_MAX
     dominated = [
         int(ids[j])
         for j in range(len(ids))
@@ -501,7 +576,7 @@ def _emit_simhash_dups(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": pd.Series(sorted(set(dominated)), dtype="int64")})
 
 
-def dedup_simhash(sf_dir: str) -> pd.DataFrame:
+def dedup_simhash_ds(sf_dir: str) -> Dataset:
     band_rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         SimHashBandStage, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, 4),
@@ -509,7 +584,11 @@ def dedup_simhash(sf_dir: str) -> pd.DataFrame:
     dom = band_rows.groupby(["band", "band_hash"]).map_groups(
         _emit_simhash_dups, batch_format="pandas"
     ).select_columns(["doc_id"])
-    return _anti_join_survivors(sf_dir, dom)
+    return _survivors(sf_dir, dom)
+
+
+def dedup_simhash(sf_dir: str) -> pd.DataFrame:
+    return _collect_ids(dedup_simhash_ds(sf_dir), "doc_id")
 
 
 # --- similarity search -------------------------------------------------------
@@ -565,11 +644,12 @@ def ann_cosine_topk(sf_dir: str, k: int = 10) -> Dataset:
 
 class LshBucketStage:
     """Random-hyperplane signatures (the scale path for ANN): vectors land
-    in 2^n_planes buckets; only the query's bucket(s) are scanned."""
+    in 2^LSH_N_PLANES buckets; only the query's bucket(s) are scanned. The
+    seeded planes (hashing.lsh_planes) are embedded verbatim into the
+    oracle SQL (hashing.sql_lsh_bucket_expr)."""
 
-    def __init__(self, dim: int, n_planes: int = 8, seed: int = 777):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_planes))
+    def __init__(self, dim: int):
+        self.planes = H.lsh_planes(dim)
 
     def signature(self, mat: np.ndarray) -> np.ndarray:
         bits = (mat @ self.planes) > 0
@@ -587,7 +667,9 @@ class LshBucketStage:
 
 def ann_lsh_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Approximate top-k: filter to the query's LSH bucket, exact cosine on
-    the survivors only. Recall vs ``ann_cosine_topk`` is asserted in tests."""
+    the survivors only. Oracle: same plane literals + bucket filter +
+    cosine ordering in DuckDB; recall vs ``ann_cosine_topk`` additionally
+    asserted in tests."""
     import ray
 
     q = _query_vector(sf_dir)
@@ -620,17 +702,33 @@ IVF_NLIST = 16
 IVF_NPROBE = 4
 
 
-def _train_centroids(sf_dir: str, nlist: int, iters: int = 10) -> np.ndarray:
-    """Deterministic spherical k-means over a driver-side sample (training
-    data is a sample even at 10^12 scale; assignment is the distributed
-    part). Returns L2-normalized centroids (nlist, dim)."""
+def _train_sample(sf_dir: str, n: int = H.IVF_TRAIN_SAMPLE) -> np.ndarray:
+    """First-n-rows training sample read via parquet row batches — bounded
+    driver memory at any table size (the 100 TB path reads ~IVF_TRAIN_SAMPLE
+    rows from the first file(s) and stops)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(Path(sf_dir) / "embeddings.parquet",
-                      columns=["embedding"])
-    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    pf = pq.ParquetFile(Path(sf_dir) / "embeddings.parquet")
+    chunks, got = [], 0
+    for rb in pf.iter_batches(columns=["embedding"], batch_size=8192):
+        chunks.append(rb)
+        got += rb.num_rows
+        if got >= n:
+            break
+    t = pa.Table.from_batches(chunks).slice(0, n)
+    emb = t["embedding"].combine_chunks()
+    return np.asarray(emb.flatten(), dtype=np.float64).reshape(
+        t.num_rows, -1
+    )
+
+
+def _train_centroids(sf_dir: str, nlist: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means over a BOUNDED head sample
+    (training data is a sample even at 10^12 scale; assignment is the
+    distributed part). Returns L2-normalized centroids (nlist, dim)."""
+    mat = _train_sample(sf_dir)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    rng = np.random.default_rng(424242)
+    rng = np.random.default_rng(H.IVF_SEED)
     centroids = mat[rng.choice(len(mat), size=min(nlist, len(mat)),
                                replace=False)]
     for _ in range(iters):
@@ -672,7 +770,9 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, nlist: int = IVF_NLIST,
     inverted lists, the query probes its ``nprobe`` nearest lists and runs
     exact cosine only there. ``nprobe == nlist`` degenerates to exact
     brute force (asserted in tests); smaller nprobe trades recall for a
-    ~nlist/nprobe scan reduction."""
+    ~nlist/nprobe scan reduction. Oracle: the trained centroids are
+    embedded as SQL literals and DuckDB replays assignment + probe +
+    search (training itself is the shared seeded sample step)."""
     import ray
 
     q = _query_vector(sf_dir)
@@ -701,9 +801,15 @@ def _filter_ivf_lists(batch: pa.Table, lists: list[int]) -> pa.Table:
     return batch.filter(pc.fill_null(mask, False))
 
 
-def embed_neardup(sf_dir: str, threshold: float = 0.999) -> pd.DataFrame:
+EMBED_NEARDUP_THRESHOLD = 0.999
+
+
+def embed_neardup(sf_dir: str,
+                  threshold: float = EMBED_NEARDUP_THRESHOLD) -> pd.DataFrame:
     """Embedding-cosine near-dup: block by LSH bucket, exact cosine within
-    blocks, survivors = min vec_id per near-dup cluster edge."""
+    blocks, survivors = vec_ids without a higher-similarity smaller-id
+    bucket-mate. Oracle: plane-literal buckets + list_cosine_similarity in
+    DuckDB."""
     ds = _embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(
         LshBucketStage, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_args=(_embedding_dim(sf_dir),), concurrency=(1, 4),
@@ -712,7 +818,7 @@ def embed_neardup(sf_dir: str, threshold: float = 0.999) -> pd.DataFrame:
         _emit_cosine_dups, batch_format="pandas",
         fn_kwargs={"threshold": threshold},
     )
-    return _anti_join_survivors(sf_dir, dom, id_col="vec_id")
+    return _collect_ids(_survivors(sf_dir, dom, id_col="vec_id"), "vec_id")
 
 
 def _embedding_dim(sf_dir: str) -> int:

@@ -1,0 +1,134 @@
+"""Parity tests for pgweasel_ray.hashing: the vectorized numpy kernels, the
+scalar reference definitions, and the generated DuckDB SQL must all agree —
+this is what makes the dedup/ANN/fingerprint oracles meaningful."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pgweasel_ray import hashing as H
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the sleepy dog",
+    "",
+    "a b",
+    "one",
+    "Hello, World! 123 mixed CASE text with  double spaces",
+    "x" * 300,
+    "word " * 50,
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(TEXTS)), type=pa.int64()),
+            "text": pa.array(TEXTS),
+        }
+    )
+    c.register("documents", t)
+    return c
+
+
+def test_vectorized_word_hashes_match_scalar():
+    for t in TEXTS:
+        w = H.tokens(t)
+        assert H.word_hash_array(w).tolist() == [H.poly_hash(x) for x in w]
+        assert H.word_hash_array(w, H.B2).tolist() == [
+            H.poly_hash(x, H.B2) for x in w
+        ]
+
+
+def test_vectorized_gram_hashes_match_scalar():
+    for t in TEXTS:
+        w = H.tokens(t)
+        assert H.gram_hash_array(w).tolist() == [
+            H.poly_hash(g) for g in H.shingles(w)
+        ]
+
+
+def test_sql_poly_hash_matches_python(con):
+    got = [
+        r[0]
+        for r in con.sql(
+            f"SELECT list_transform({H.sql_words()}, x -> "
+            f"{H.sql_poly_hash('x')}) FROM documents ORDER BY doc_id"
+        ).fetchall()
+    ]
+    want = [[H.poly_hash(w) for w in H.tokens(t)] for t in TEXTS]
+    assert got == want
+
+
+def test_sql_minhash_bands_match_python(con):
+    want = {}
+    for i, t in enumerate(TEXTS):
+        bh = H.band_hashes(H.minhash_signature(H.gram_hashes(t)))
+        for b in range(H.MH_BANDS):
+            want[(i, b)] = int(bh[b])
+    q = (f"WITH {H.sql_minhash_bands_cte()} "
+         f"SELECT doc_id, band, band_hash FROM bands")
+    got = {(r[0], r[1]): r[2] for r in con.sql(q).fetchall()}
+    assert got == want
+
+
+def test_sql_simhash_matches_python(con):
+    q = f"WITH {H.sql_simhash_cte()} SELECT doc_id, simhash FROM sims"
+    got = dict(con.sql(q).fetchall())
+    for i, t in enumerate(TEXTS):
+        assert got[i] == H.simhash62(H.tokens(t))
+
+
+def test_sql_fingerprint_matches_python(con):
+    got = dict(con.sql(H.sql_fingerprint_select()).fetchall())
+    for i, t in enumerate(TEXTS):
+        assert got[i] == H.fingerprint(t)
+
+
+def test_sql_lsh_bucket_matches_numpy(con):
+    rng = np.random.default_rng(9)
+    emb = rng.standard_normal((20, 16)).astype(np.float32)
+    et = pa.table(
+        {
+            "vec_id": pa.array(range(20), type=pa.int64()),
+            "embedding": pa.array(
+                [r.tolist() for r in emb], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    con.register("em16", et)
+    planes = H.lsh_planes(16)
+    bits = (emb.astype(np.float64) @ planes) > 0
+    want = (
+        (bits * (1 << np.arange(H.LSH_N_PLANES))).sum(axis=1).astype(np.int64)
+    ).tolist()
+    q = (f"SELECT {H.sql_lsh_bucket_expr('embedding', 16)} "
+         f"FROM em16 ORDER BY vec_id")
+    got = [r[0] for r in con.sql(q).fetchall()]
+    assert got == want
+
+
+def test_prefix_length_guarantee_brute_force():
+    """Exhaustive check of the prefix-filter recall guarantee on random
+    small universes: every pair with J >= t shares a prefix element."""
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        a = np.unique(rng.integers(0, 30, rng.integers(1, 15)))
+        b = np.unique(rng.integers(0, 30, rng.integers(1, 15)))
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        union = len(a) + len(b) - inter
+        if H.JC_DEN * inter >= H.JC_NUM * union:
+            pa_, pb_ = H.prefix_length(len(a)), H.prefix_length(len(b))
+            shared = np.intersect1d(a[:pa_], b[:pb_], assume_unique=True)
+            assert len(shared) > 0, (a, b)
+
+
+def test_fingerprint_properties():
+    assert H.fingerprint("abc") == H.fingerprint("abc")
+    assert H.fingerprint("") == H.fingerprint("")  # all-pad window
+    assert 0 <= H.fingerprint("xyz" * 100) < H.P
