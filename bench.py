@@ -73,29 +73,50 @@ def run_bench() -> dict:
     flagship_sec = min(walls[1:])
     turns = manifest.total_rows()
 
-    queries = {}
+    # --- aggregate sweep over the parse-once cache: parse+materialize ONCE
+    # (timed as parse_once_sec), then each operator runs on the materialized
+    # Dataset, so per-query numbers reflect the OPERATOR, not a repeated
+    # parse + per-job spin-up tax. The *_from variants are asserted equal
+    # to the end-to-end pipelines in tests/test_cache.py. Two end-to-end
+    # timings are kept for the single-ad-hoc-query story.
+    queries: dict[str, float] = {}
+    queries_e2e: dict[str, float] = {}
+    parse_once_sec = None
+    if not SKIP_QUERIES:
+        from pgweasel_ray.pipelines import cache
 
-    def timed(name, fn):
-        if SKIP_QUERIES:
-            return
         t = time.monotonic()
-        _consume(fn(SF_DIR))
-        queries[name] = round(time.monotonic() - t, 3)
+        parsed = cache.parse_full(SF_DIR)
+        parse_once_sec = round(time.monotonic() - t, 3)
 
-    timed("errors_by_severity", core.errors_by_severity)
-    timed("errors_top_messages", core.errors_top_messages)
-    timed("errors_hist", core.errors_hist)
-    timed("slow_top", core.slow_top)
-    timed("locks", core.locks)
-    timed("connections_summary", core.connections_summary)
-    timed("sessions", core.sessions)
-    timed("enriched_severity_counts", core.enriched_severity_counts)
+        def timed(name, fn, *args):
+            t = time.monotonic()
+            _consume(fn(*args))
+            queries[name] = round(time.monotonic() - t, 3)
+
+        timed("errors_by_severity", cache.errors_by_severity_from, parsed)
+        timed("errors_top_messages", cache.errors_top_messages_from, parsed)
+        timed("errors_hist", cache.errors_hist_from, parsed)
+        timed("slow_top", cache.slow_top_from, parsed)
+        timed("locks", cache.locks_from, parsed)
+        timed("connections_summary", cache.connections_summary_from, parsed)
+        timed("sessions", cache.sessions_from, parsed)
+        timed("enriched_severity_counts",
+              cache.enriched_severity_counts_from, parsed, SF_DIR)
+
+        for name, fn in (("errors_by_severity", core.errors_by_severity),
+                         ("sessions", core.sessions)):
+            t = time.monotonic()
+            _consume(fn(SF_DIR))
+            queries_e2e[name] = round(time.monotonic() - t, 3)
 
     result = {
         "metric": "parse→route→aggregate throughput (turns/sec)",
         "value": round(flagship_sec, 3),
         "unit": "sec",
         "queries": queries,
+        "parse_once_sec": parse_once_sec,
+        "queries_e2e": queries_e2e,
         "sf": os.path.basename(SF_DIR.rstrip("/")),
         "num_cpus": NCPU,
         "turns": turns,

@@ -31,6 +31,8 @@ import sys
 from .functions.timeparse import parse_time_or_interval
 from .severity import RANK, severity_from_cli
 
+VERSION = "0.1"  # mirrors cli.rs:10 .version("0.1")
+
 ALIASES = {
     "err": "errors", "error": "errors",
     "loc": "locks", "lock": "locks", "deadlock": "locks", "deadlocks": "locks",
@@ -38,6 +40,11 @@ ALIASES = {
     "conn": "connections", "conns": "connections",
 }
 ERROR_SUBCOMMANDS = {"list", "top", "hist", "histogram"}
+
+# global options that consume the NEXT token as a value — the command scan
+# must never mistake such a value (e.g. `-m errors`) for the command itself
+VALUE_FLAGS = {"-m", "--mask", "-b", "--begin", "-e", "--end",
+               "--num-cpus", "-l", "--level"}
 
 
 def _init_ray(num_cpus: int | None) -> bool:
@@ -69,6 +76,11 @@ def normalize_argv(argv: list[str]) -> list[str]:
     seen_command = None
     while i < len(argv):
         tok = argv[i]
+        if (seen_command is None and tok in VALUE_FLAGS
+                and i + 1 < len(argv)):
+            out.extend(argv[i:i + 2])  # flag + its value, verbatim
+            i += 2
+            continue
         mapped = ALIASES.get(tok, tok)
         if seen_command is None and mapped in (
             "errors", "locks", "system", "connections", "slow", "route",
@@ -89,44 +101,100 @@ def normalize_argv(argv: list[str]) -> list[str]:
 
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(prog="pgweasel-ray")
+    # about/usage strings mirror cli.rs:8-97 (tests/help.rs pins the usage
+    # shapes; test_cli_help.py mirrors those assertions for this binary)
+    p = argparse.ArgumentParser(
+        prog="pgweasel-ray",
+        description="A PostgreSQL log parser",
+        usage="pgweasel-ray [OPTIONS] <COMMAND>",
+    )
+    p.add_argument("-V", "--version", action="version",
+                   version=f"pgweasel-ray {VERSION}")
     p.add_argument("--num-cpus", type=int, default=None)
-    p.add_argument("-d", "--debug", action="store_true")
+    p.add_argument("-d", "--debug", action="store_true",
+                   help="Verbose. Show debug information")
     p.add_argument("-m", "--mask", default=None,
-                   help='substring mask, e.g. "2025-05-21 12:57"')
+                   help='Postgres log timestamp mask (e.g. "2025-05-21 '
+                        '12:57" - will show all events at 12:57)')
     p.add_argument("-b", "--begin", default=None)
     p.add_argument("-e", "--end", default=None)
     sp = p.add_subparsers(dest="command", required=True)
 
     def paths(sub):
-        sub.add_argument("paths", nargs="+",
-                         help="parquet transcripts / raw logs / sf name")
+        sub.add_argument("paths", nargs="+", metavar="PATH",
+                         help="Log files to analyze (parquet transcripts / "
+                              "raw logs / sf name)")
 
     def level(sub):
         sub.add_argument("-l", "--level", default=None)
 
-    errors = sp.add_parser("errors")
+    errors = sp.add_parser(
+        "errors", description="Show or summarize error messages",
+        help="Show or summarize error messages",
+        usage="pgweasel-ray errors [OPTIONS] <PATH>...",
+    )
     esp = errors.add_subparsers(dest="subcommand", required=True)
-    e_list = esp.add_parser("list"); level(e_list); paths(e_list)
-    e_top = esp.add_parser("top"); level(e_top); paths(e_top)
-    e_top.add_argument("-m", "--max", type=int, default=20)
-    e_hist = esp.add_parser("hist"); level(e_hist); paths(e_hist)
-    e_hist.add_argument("-b", "--bucket", default="1h")
+    e_list = esp.add_parser(
+        "list",
+        description="Default subcommand of error. Show error messages",
+        usage="pgweasel-ray errors list [OPTIONS] <PATH>...",
+    )
+    level(e_list); paths(e_list)
+    e_top = esp.add_parser(
+        "top", description="Shows top most frequent error messages",
+        usage="pgweasel-ray errors top [OPTIONS] <PATH>...",
+    )
+    level(e_top); paths(e_top)
+    e_top.add_argument("-m", "--max", type=int, default=20,
+                       help="Max number of top errors to show (default 20)")
+    e_hist = esp.add_parser(
+        "hist",
+        description="Show histogram of error occurrences over time",
+        usage="pgweasel-ray errors hist [OPTIONS] <PATH>...",
+    )
+    level(e_hist); paths(e_hist)
+    e_hist.add_argument("-b", "--bucket", default="1h",
+                        help="Interval for histogram buckets, e.g. 10s, 1m, "
+                             "1h. Defaults to 1h")
 
-    slow = sp.add_parser("slow")
+    slow = sp.add_parser(
+        "slow",
+        description="Show queries taking longer than give threshold "
+                    "(subcommand `top` shows the slowest queries)",
+        help="Show queries taking longer than give threshold",
+        usage="pgweasel-ray slow <TRESHOLD> <PATH>... | slow top <PATH>...",
+    )
     slow.add_argument("treshold", nargs="?", default="3s",
-                      help="duration threshold like 10s/10ms, or 'top'")
+                      help="Treshold in format like 10s, 10ms to consider "
+                           "slow query. Or 'top'.")
     paths(slow)
 
-    for name in ("locks", "system", "connections", "peaks", "stats"):
-        sub = sp.add_parser(name)
+    for name, about in (
+        ("locks", "Only show locking (incl. deadlocks, recovery conflicts) "
+                  "entries"),
+        ("system", "Show lifecycle / Postgres internal events, i.e. "
+                   "autovacuum, replication, extensions, config changes etc"),
+        ("connections", "Show connections counts by total, db, user, "
+                        "application name. Assumes log_connections enabled"),
+        ("peaks", 'Show the "busiest" time periods with most log events'),
+        ("stats", "Summary of log events - counts / frequency of errors, "
+                  "connections, checkpoints, autovacuums"),
+    ):
+        sub = sp.add_parser(name, description=about, help=about)
         level(sub)
         paths(sub)
 
-    route = sp.add_parser("route")
+    route = sp.add_parser(
+        "route",
+        description="Route records into a partitioned parquet sink "
+                    "(severity × tool) with a resumable manifest",
+    )
     paths(route)
     route.add_argument("--out", required=True)
     route.add_argument("--shards", type=int, default=4)
+    route.add_argument("--salt", type=int, default=None,
+                       help="hot-key salt: spread each (severity, tool) "
+                            "partition over N shuffle aggregators")
     return p
 
 
@@ -203,6 +271,18 @@ def main(argv: list[str] | None = None) -> int:
 
     elif args.command == "slow":
         rank = core.LOG_RANK  # main.rs:155,163
+        if args.treshold != "top":
+            # `slow a.log b.log`: argparse gives the first path to the
+            # optional TRESHOLD slot — if the token does not parse as a
+            # duration, treat it as a path and keep the 3 s default
+            import pandas as pd
+
+            try:
+                pd.Timedelta(args.treshold)
+            except ValueError:
+                args.paths = [args.treshold] + args.paths
+                args.treshold = "3s"
+                inp = _input(args)
         if args.treshold == "top":
             top = core.records(
                 inp, rank, mask, begin, end,
@@ -258,7 +338,8 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{key}: {int(row[key])}")
 
     elif args.command == "route":
-        manifest = router.route(inp, out_dir=args.out, num_shards=args.shards)
+        manifest = router.route(inp, out_dir=args.out, num_shards=args.shards,
+                                salt=args.salt)
         print(f"routed {manifest.total_rows()} turns into "
               f"{len(manifest.entries)} shards under {args.out}")
 

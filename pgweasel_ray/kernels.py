@@ -78,16 +78,12 @@ _CSV_F14_PATTERN = (
 def _csv_message_column(text: pa.Array) -> pa.Array:
     ext = pc.extract_regex(text, _CSV_F14_PATTERN)
     raw = pc.struct_field(ext, "m")
-    vals = raw.to_numpy(zero_copy_only=False)
-    out = np.array(
-        [
-            v[1:-1] if isinstance(v, str) and len(v) >= 2
-            and v.startswith('"') and v.endswith('"') else v
-            for v in vals
-        ],
-        dtype=object,
+    # strip the OUTER quote pair only (csv.rs:47-53) — vectorized RE2
+    # rewrite; (?s) so embedded newlines inside a quoted field stay; a
+    # 1-char field `"` cannot match (the pattern needs both quotes)
+    return pc.replace_substring_regex(
+        raw, pattern=r'^"((?s:.*))"$', replacement=r"\1"
     )
-    return pa.array(out, type=pa.string())
 
 
 # --- duration ----------------------------------------------------------------
@@ -168,8 +164,13 @@ def event_columns(
       prefix; ssl = authorized AND message contains "SSL enabled";
     - ``disconnection``: our extension (same Log gate + prefix), not counted
       by the reference's aggregator;
-    - rows whose message is null get a null event (the reference instead
-      aborts the whole run — NotAbleToExtractMessage; documented divergence).
+    - a null message yields a null event on the received/authorized/
+      disconnection branches; the fatal auth-failure branch matches on the
+      RECORD and deliberately does NOT require an extractable message —
+      the reference would have aborted the entire run on such a row
+      (NotAbleToExtractMessage, before any branch), so any non-aborting
+      choice is a divergence and this one keeps the failure count faithful.
+      The DuckDB oracle encodes the same rule.
     """
     text = _as_array(text)
     severity_name = _as_array(severity_name)

@@ -24,6 +24,13 @@ Semantics are needle-for-needle copies of the reference byte scanners:
   ``.`` match a newline first char, as the byte scanner does.
   KNOWN DIVERGENCE: a needle at the very end of the record panics in the
   reference (slice out of bounds); we return null.
+- csv field 14 (kernels._CSV_F14_PATTERN): fields are either fully quoted
+  (doubled quotes stay doubled) or quote-free runs — csv.rs:1-53.
+  KNOWN DIVERGENCE: the reference's stateful quote-TOGGLING scanner
+  (csv.rs:7-44) tolerates a malformed field containing an unpaired
+  mid-field quote (e.g. ``ab"cd``) and returns a field slice; the regex
+  alternation does not match such malformed rows and yields a null
+  message. Differs only on CSV rows that violate the csvlog quoting rules.
 - locking: 17 case-insensitive literals OR the case-SENSITIVE
   ``process [0-9]+ acquired`` scanner —
   /root/reference/src/filters/locking_filter.rs:12-30,51-83.

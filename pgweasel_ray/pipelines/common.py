@@ -14,9 +14,43 @@ its own copies before the exchange, so the shuffle sees at most
 
 from __future__ import annotations
 
+import contextlib
+
 import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Sum
+
+
+@contextlib.contextmanager
+def hash_shuffle():
+    """Scope the HASH_SHUFFLE strategy (required for keyed ``repartition``)
+    around a pipeline BUILD — a Dataset snapshots the DataContext at
+    creation, so the scope must start before ``read_parquet``."""
+    import os
+
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    prev_cpus = ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # Aggregator actors default to 1 whole CPU per partition; with
+    # partitions == cluster CPUs they can reserve the whole of a small
+    # cluster and starve the map/read tasks they depend on. Tunable via
+    # PGWEASEL_AGG_CPUS (fractional); default leaves Ray's sizing.
+    agg_cpus = os.environ.get("PGWEASEL_AGG_CPUS")
+    if agg_cpus:
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = (
+            float(agg_cpus)
+        )
+    try:
+        yield
+    finally:
+        ctx.shuffle_strategy = prev
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = (
+            prev_cpus
+        )
 
 
 def _partial_count(batch: pa.Table, keys: list[str]) -> pa.Table:

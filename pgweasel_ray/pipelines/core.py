@@ -423,38 +423,77 @@ def sessions(sf_dir: str) -> Dataset:
     order: turn count, time span, error count, and the full transcript
     joined with newlines in turn order.
 
+    Shape: keyed HASH repartition on conv_id co-locates every conversation
+    inside one block, then ONE vectorized pandas groupby per block computes
+    all aggregates + the ordered transcript concat — no per-group Python
+    dispatch from Ray (`map_groups` was ~1 call per conversation; this is
+    ~1 call per block).
+
     Scale note: the shuffle key is conv_id (the skew-sensitive hot key —
     BASELINE.json); per-group work is bounded by conversation length, which
     is physically bounded for transcripts, so no salting is needed here —
     hot-key salting applies to the *aggregate* pipelines (see
     pipelines.common)."""
-    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text", "ts"])
-    parsed = ds.map_batches(
-        parse_filter_project,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        fn_kwargs=dict(groups=("severity",),
-                       keep=("conv_id", "turn_idx", "text", "ts", "severity_rank")),
-    )
-    return parsed.groupby("conv_id").map_groups(
-        _session_fn, batch_format="pandas"
-    )
+    import ray
+
+    from .common import hash_shuffle
+
+    with hash_shuffle():
+        ds = read_transcripts(
+            sf_dir, columns=["conv_id", "turn_idx", "text", "ts"]
+        )
+        parsed = ds.map_batches(
+            parse_filter_project,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            fn_kwargs=dict(
+                groups=("severity",),
+                keep=("conv_id", "turn_idx", "text", "ts", "severity_rank"),
+            ),
+        )
+        # cpus//4 aggregator partitions: enough parallelism for the
+        # concat-heavy reduce while leaving cores for the map side
+        # (1-CPU aggregator actors at n==cpus starve the upstream parse
+        # — measured 2.0s at cpus//4 vs 3.5-67s at n==cpus on 32 cores)
+        n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+        parts = parsed.repartition(n_parts, keys=["conv_id"], sort=False)
+        return parts.map_batches(
+            _sessions_block, batch_format="pandas", batch_size=None
+        )
 
 
-def _session_fn(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.sort_values("turn_idx")
-    return pd.DataFrame(
-        [
-            {
-                "conv_id": df["conv_id"].iloc[0],
-                "n_turns": len(df),
-                "first_ts": df["ts"].min(),
-                "last_ts": df["ts"].max(),
-                "n_errors": int((df["severity_rank"] >= ERROR_RANK).sum()),
-                "transcript": "\n".join(df["text"]),
-            }
-        ]
-    )
+_SESSION_DTYPES = {
+    "conv_id": "object",
+    "n_turns": "int64",
+    "first_ts": "datetime64[ns]",
+    "last_ts": "datetime64[ns]",
+    "n_errors": "int64",
+    "transcript": "object",
+}
+
+
+def _sessions_block(df: pd.DataFrame) -> pd.DataFrame:
+    """All session aggregates for one hash partition in one vectorized
+    pandas groupby (blocks are conv_id-exclusive after the keyed
+    repartition). Typed empty output keeps downstream block schemas
+    consistent."""
+    if df.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=t) for c, t in _SESSION_DTYPES.items()}
+        )
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    df["_err"] = (df["severity_rank"] >= ERROR_RANK).astype("int64")
+    g = df.groupby("conv_id", sort=False)
+    out = pd.DataFrame(
+        {
+            "n_turns": g.size().astype("int64"),
+            "first_ts": g["ts"].min(),
+            "last_ts": g["ts"].max(),
+            "n_errors": g["_err"].sum().astype("int64"),
+            "transcript": g["text"].agg("\n".join),
+        }
+    ).reset_index()
+    return out[list(_SESSION_DTYPES)]
 
 
 def conv_first_error(sf_dir: str) -> Dataset:

@@ -297,10 +297,13 @@ class MinHashBandStage:
         )
 
 
-def _emit_dominated(df: pd.DataFrame) -> pd.DataFrame:
+def _emit_dominated(df: pd.DataFrame) -> pa.Table:
+    """Typed Arrow output (even when empty) so downstream blocks share one
+    schema — schema-less empty pandas blocks trip Ray's RefBundle schema
+    check and the hash join's key resolution."""
     m = df["doc_id"].min()
-    dup = df.loc[df["doc_id"] != m, ["doc_id"]].drop_duplicates()
-    return dup if len(dup) else pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    dup = df.loc[df["doc_id"] != m, "doc_id"].drop_duplicates().to_numpy()
+    return pa.table({"doc_id": pa.array(dup, type=pa.int64())})
 
 
 def _survivors(sf_dir: str, dups: Dataset, id_col: str = "doc_id") -> Dataset:
@@ -313,6 +316,10 @@ def _survivors(sf_dir: str, dups: Dataset, id_col: str = "doc_id") -> Dataset:
 
     all_ids = ray.data.read_parquet(
         str(Path(sf_dir) / table), columns=[id_col]
+    ).map_batches(
+        # parquet blocks carry pandas schema metadata (a dict) that Ray's
+        # hash-shuffle schema dedup cannot hash — strip it
+        _strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
     )
     # empty per-group outputs yield schema-less blocks that break the join's
     # key resolution — re-type every block explicitly
@@ -335,6 +342,10 @@ def _survivors(sf_dir: str, dups: Dataset, id_col: str = "doc_id") -> Dataset:
 def _collect_ids(ds: Dataset, id_col: str) -> pd.DataFrame:
     out = ds.to_pandas()[id_col]
     return pd.DataFrame({id_col: out.sort_values().reset_index(drop=True)})
+
+
+def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
+    return batch.replace_schema_metadata(None)
 
 
 def _coerce_id_schema(df: pd.DataFrame, id_col: str) -> pa.Table:
@@ -404,15 +415,17 @@ def _prefix_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs (a < b) within one bucket (band or prefix-hash)."""
+def _emit_pairs(df: pd.DataFrame) -> pa.Table:
+    """Candidate pairs (a < b) within one bucket (band or prefix-hash);
+    typed Arrow output even when empty."""
     ids = sorted(set(df["doc_id"]))
-    if len(ids) < 2:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64")})
-    return pd.DataFrame(
-        [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))],
-        columns=["a", "b"],
+    pairs = [(ids[i], ids[j])
+             for i in range(len(ids)) for j in range(i + 1, len(ids))]
+    return pa.table(
+        {
+            "a": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "b": pa.array([p[1] for p in pairs], type=pa.int64()),
+        }
     )
 
 
@@ -557,7 +570,7 @@ def _emit_simhash_dups(df: pd.DataFrame) -> pd.DataFrame:
     any pair within hamming SH_HAM_MAX shares an intact band — which is why
     the all-pairs DuckDB oracle matches exactly.)"""
     if len(df) < 2:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        return pa.table({"doc_id": pa.array([], type=pa.int64())})
     df = df.sort_values("doc_id")
     sims = df["simhash"].to_numpy()
     ids = df["doc_id"].to_numpy()
@@ -573,7 +586,7 @@ def _emit_simhash_dups(df: pd.DataFrame) -> pd.DataFrame:
         for i in range(j)
         if close[i, j]
     ]
-    return pd.DataFrame({"doc_id": pd.Series(sorted(set(dominated)), dtype="int64")})
+    return pa.table({"doc_id": pa.array(sorted(set(dominated)), type=pa.int64())})
 
 
 def dedup_simhash_ds(sf_dir: str) -> Dataset:
@@ -825,9 +838,9 @@ def _embedding_dim(sf_dir: str) -> int:
     return len(_query_vector(sf_dir))
 
 
-def _emit_cosine_dups(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
+def _emit_cosine_dups(df: pd.DataFrame, threshold: float) -> pa.Table:
     if len(df) < 2:
-        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+        return pa.table({"vec_id": pa.array([], type=pa.int64())})
     df = df.sort_values("vec_id")
     mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -837,4 +850,4 @@ def _emit_cosine_dups(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
         {int(ids[j]) for j in range(len(ids)) for i in range(j)
          if sims[i, j] > threshold}
     )
-    return pd.DataFrame({"vec_id": pd.Series(dominated, dtype="int64")})
+    return pa.table({"vec_id": pa.array(dominated, type=pa.int64())})

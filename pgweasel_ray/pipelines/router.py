@@ -23,7 +23,6 @@ equivalent is a partitioned Parquet layout:
 
 from __future__ import annotations
 
-import contextlib
 import shutil
 import time
 from pathlib import Path
@@ -31,6 +30,7 @@ from pathlib import Path
 import pyarrow as pa
 import pyarrow.dataset as pads
 
+from . import common
 from ..sources import lookups
 from ..sources.transcripts import ensure_fixture, fixture_dir
 from ..stages.enrich import EnrichStage
@@ -60,6 +60,7 @@ def route(
     out_dir: str | Path | None = None,
     num_shards: int = 4,
     enrich: bool = True,
+    salt: int | None = None,
 ) -> Manifest:
     """Run (or resume) the routed sink for ``sf_dir``; returns the manifest."""
     import ray
@@ -111,13 +112,23 @@ def route(
         # Within each block a LOCAL sort restores the stable
         # (conv_id, turn_idx) turn order per partition (SURVEY §2.5 O4).
         # Skew note: one hot (severity, tool) pair (e.g. log×client_backend)
-        # hashes to one aggregator; at 10^12 turns add a salt column
-        # (hash(conv_id) % S) to the repartition keys to split it — conv
-        # order is preserved because the local sort runs after.
-            ds = ds.repartition(n_cpus, keys=["severity", "tool"], sort=False)
+        # hashes to one aggregator; ``salt=S`` adds hash(conv_id) % S to the
+        # repartition keys so a hot pair spreads over S aggregators — the
+        # partition-dir CONTENTS are unchanged (asserted in test_router)
+        # because the salt never reaches the write: per-partition turn
+        # order comes from the local sort that runs after the exchange,
+        # and the hive layout keys stay (severity, tool).
+            keys = ["severity", "tool"]
+            if salt:
+                ds = ds.map_batches(
+                    _add_salt, batch_format="pyarrow", zero_copy_batch=True,
+                    fn_kwargs={"salt": salt},
+                )
+                keys = keys + ["_salt"]
+            ds = ds.repartition(n_cpus, keys=keys, sort=False)
             ds = ds.map_batches(
                 _local_sort, batch_format="pyarrow", zero_copy_batch=True,
-                batch_size=None,
+                batch_size=None, fn_kwargs={"drop_salt": bool(salt)},
             )
             ds.write_parquet(str(shard_dir), partition_cols=["severity", "tool"])
 
@@ -132,38 +143,30 @@ def route(
     return manifest
 
 
-def _local_sort(batch: pa.Table) -> pa.Table:
+def _local_sort(batch: pa.Table, drop_salt: bool = False) -> pa.Table:
+    if drop_salt:
+        batch = batch.drop_columns(["_salt"])
     return batch.sort_by(
         [("severity", "ascending"), ("tool", "ascending"),
          ("conv_id", "ascending"), ("turn_idx", "ascending")]
     )
 
 
-@contextlib.contextmanager
-def _hash_shuffle():
-    """Keyed repartition requires the hash shuffle strategy; scope it to the
-    route so groupby/sort pipelines keep the default."""
-    from ray.data import DataContext
-    from ray.data.context import ShuffleStrategy
+def _add_salt(batch: pa.Table, salt: int) -> pa.Table:
+    """Deterministic hot-key salt: hash(conv_id) % salt (vectorized polars
+    xxhash) — splits a hot (severity, tool) pair across ``salt``
+    aggregators while keeping all turns of one conversation together."""
+    import numpy as np
+    import polars as pl
 
-    import os
+    h = pl.from_arrow(batch["conv_id"]).hash(seed=0).to_numpy()
+    s = (h % np.uint64(salt)).astype(np.int64)
+    return batch.append_column("_salt", pa.array(s, type=pa.int64()))
 
-    ctx = DataContext.get_current()
-    prev = ctx.shuffle_strategy
-    prev_cpus = ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    # Aggregator actors default to 1 whole CPU per partition; with
-    # partitions == cluster CPUs they can reserve the whole of a small
-    # cluster and starve the map/read tasks they depend on. Tunable via
-    # PGWEASEL_AGG_CPUS (fractional); default leaves Ray's sizing.
-    agg_cpus = os.environ.get("PGWEASEL_AGG_CPUS")
-    if agg_cpus:
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = float(agg_cpus)
-    try:
-        yield
-    finally:
-        ctx.shuffle_strategy = prev
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = prev_cpus
+
+# keyed repartition requires the hash-shuffle strategy, scoped around the
+# pipeline build (shared with pipelines that hash-partition by key)
+_hash_shuffle = common.hash_shuffle
 
 
 def _written_counts(shard_dir: Path) -> tuple[int, dict[str, int]]:

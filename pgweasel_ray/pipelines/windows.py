@@ -42,27 +42,51 @@ def _events(sf_dir: str, columns: list[str]):
 
 # --- gap sessionization (tumbling/session window) ----------------------------
 
-def _sessionize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.sort_values("ts")
-    gaps = df["ts"].diff()
-    new_session = gaps.isna() | (gaps > pd.Timedelta(seconds=SESSION_GAP_S))
-    return pd.DataFrame(
-        [
+def _sessionize_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Gap sessionization for one user_id-exclusive hash partition: one
+    vectorized groupby.diff over the whole block instead of a per-user
+    Python call."""
+    if df.empty:
+        return pd.DataFrame(
             {
-                "user_id": df["user_id"].iloc[0],
-                "n_events": len(df),
-                "n_sessions": int(new_session.sum()),
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "n_sessions": pd.Series([], dtype="int64"),
             }
-        ]
-    )
+        )
+    df = df.sort_values(["user_id", "ts"], kind="mergesort")
+    gaps = df.groupby("user_id", sort=False)["ts"].diff()
+    df["_new"] = (
+        gaps.isna() | (gaps > pd.Timedelta(seconds=SESSION_GAP_S))
+    ).astype("int64")
+    g = df.groupby("user_id", sort=False)
+    return pd.DataFrame(
+        {
+            "n_events": g.size().astype("int64"),
+            "n_sessions": g["_new"].sum().astype("int64"),
+        }
+    ).reset_index()[["user_id", "n_events", "n_sessions"]]
 
 
 def events_user_sessions(sf_dir: str) -> Dataset:
     """Per-user session count with a 30-min inactivity gap (strictly greater
     ⇒ new session). The streaming-window equivalent for a batch table:
-    partition by key, order by ts within the group."""
-    ds = _events(sf_dir, ["user_id", "ts"])
-    return ds.groupby("user_id").map_groups(_sessionize, batch_format="pandas")
+    keyed HASH repartition co-locates each user's events in one block, then
+    one vectorized pandas pass per block (see core.sessions for the shape
+    rationale; the partitioning assumption is that one user's events fit
+    one worker — bound by per-user activity; salt by day for pathological
+    users)."""
+    import ray
+
+    from .common import hash_shuffle
+
+    with hash_shuffle():
+        ds = _events(sf_dir, ["user_id", "ts"])
+        n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+        parts = ds.repartition(n_parts, keys=["user_id"], sort=False)
+        return parts.map_batches(
+            _sessionize_block, batch_format="pandas", batch_size=None
+        )
 
 
 # --- hash join against a dimension table -------------------------------------
@@ -75,6 +99,7 @@ def events_by_segment(sf_dir: str) -> Dataset:
     Scale note: for a truly small dimension the broadcast pattern
     (stages/enrich.py) is cheaper; this operator exists to cover the
     both-sides-large join shape."""
+    import ray
     import ray.data
 
     events = _events(sf_dir, ["event_id", "user_id"])
@@ -83,7 +108,8 @@ def events_by_segment(sf_dir: str) -> Dataset:
         columns=["c_custkey", "c_mktsegment"],
     )
     joined = events.join(
-        customers, join_type="inner", num_partitions=16,
+        customers, join_type="inner",
+        num_partitions=max(2, int(ray.cluster_resources().get("CPU", 8))),
         on=("user_id",), right_on=("c_custkey",),
     )
     return grouped_count(

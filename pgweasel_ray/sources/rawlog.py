@@ -213,21 +213,31 @@ def _read_chunk(batch: pa.Table) -> pa.Table:
                                 batch["start"].to_pylist(),
                                 batch["end"].to_pylist()):
         p = Path(path)
+        import os
+
+        size = os.path.getsize(path)
         # read one lead byte before `start` so "does the chunk begin at a
         # line boundary" is decidable without the rest of the file
         lead = 1 if start > 0 else 0
         with open(path, "rb") as f:
             f.seek(start - lead)
             data = f.read(lead + (end - start) + BOUNDARY_OVERSCAN)
-        # align the head: skip the partial record belonging to the previous
-        # chunk (its task consumes it via overscan)
-        offset = lead
-        if start > 0:
-            offset = _next_record_start(data, lead)
-            if offset is None:
-                continue  # no record starts in this chunk
-        # align the tail: first record start at/after the nominal end
-        tail = _next_record_start(data, lead + (end - start))
+            # align the head: skip the partial record belonging to the
+            # previous chunk (its task consumes it via its tail overscan)
+            offset = lead
+            if start > 0:
+                data, offset = _scan_record_start(
+                    f, data, lead, start - lead, size
+                )
+                if offset is None:
+                    continue  # no record starts in this chunk
+            # align the tail: first record start at/after the nominal end —
+            # the scan keeps extending the buffer from the file (records
+            # larger than one overscan must not be truncated, and the bytes
+            # up to the true next record start belong to THIS chunk)
+            data, tail = _scan_record_start(
+                f, data, lead + (end - start), start - lead, size
+            )
         body = data[offset: tail if tail is not None else len(data)]
         for i, rec in enumerate(split_records(body)):
             text = rec.decode("utf-8", errors="replace")
@@ -251,6 +261,32 @@ def _read_chunk(batch: pa.Table) -> pa.Table:
             "ts": pa.Array.from_pandas(ts, type=pa.timestamp("us")),
         }
     )
+
+
+def _scan_record_start(
+    f, data: bytes, from_pos: int, data_abs_start: int, file_size: int
+) -> tuple[bytes, int | None]:
+    """Like :func:`_next_record_start`, but when the buffer ends before a
+    record start is found, keep reading the file in geometrically growing
+    increments until one is found or EOF — a record (or the gap to the next
+    record start) may exceed any fixed overscan, and truncating it would
+    silently lose data. Returns the (possibly grown) buffer and the offset
+    (None ⇒ no record start between from_pos and EOF; the buffer then ends
+    exactly at EOF, so slicing to ``len(data)`` is lossless)."""
+    grow = BOUNDARY_OVERSCAN
+    while True:
+        pos = _next_record_start(data, from_pos)
+        if pos is not None:
+            return data, pos
+        abs_end = data_abs_start + len(data)
+        if abs_end >= file_size:
+            return data, None
+        f.seek(abs_end)
+        more = f.read(grow)
+        if not more:
+            return data, None
+        data += more
+        grow *= 2
 
 
 def _next_record_start(data: bytes, from_pos: int) -> int | None:

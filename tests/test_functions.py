@@ -54,6 +54,31 @@ class TestTimeParse:
         with pytest.raises(TimeParseError):
             parse_time_or_interval("", None)
 
+    def test_zone_suffix_eest_vector(self):
+        # util.rs:296-306 (the reference only pins year/month — its chrono
+        # fallback discards the zone; we additionally convert to UTC)
+        got = parse_time_or_interval("2025-05-02 18:25:51.151 EEST", None)
+        assert (got.year, got.month) == (2025, 5)
+        assert got == pd.Timestamp("2025-05-02 15:25:51.151")  # EEST = UTC+3
+        got = parse_time_or_interval("2025-05-02 18:25:51 EEST", None)
+        assert (got.year, got.month) == (2025, 5)
+        assert got == pd.Timestamp("2025-05-02 15:25:51")
+
+    def test_zone_suffix_conversions(self):
+        assert parse_time_or_interval(
+            "2025-09-19 15:30:00 UTC", None
+        ) == pd.Timestamp("2025-09-19 15:30:00")
+        assert parse_time_or_interval(
+            "2025-09-19 15:30:00 CEST", None
+        ) == pd.Timestamp("2025-09-19 13:30:00")
+        assert parse_time_or_interval(
+            "2025-09-19 15:30:00 PST", None
+        ) == pd.Timestamp("2025-09-19 23:30:00")
+        # unknown abbreviation: consumed and discarded (reference behavior)
+        assert parse_time_or_interval(
+            "2025-09-19 15:30:00 XYZT", None
+        ) == pd.Timestamp("2025-09-19 15:30:00")
+
 
 class TestRawlogSplit:
     def test_record_start_vector(self):
@@ -122,6 +147,32 @@ class TestChunkedIngest:
             read_raw_logs_chunked(str(f), chunk_bytes=700).to_pandas()["text"]
         )
         assert chunked == whole
+
+    def test_record_larger_than_overscan_not_truncated(self, tmp_path):
+        """A record (or gap to the next record start) longer than
+        BOUNDARY_OVERSCAN must be ingested byte-for-byte: the boundary scan
+        keeps reading the file instead of truncating at the fixed overscan
+        (regression: ~96% of a 3 MB record's bytes silently vanished)."""
+        from pgweasel_ray.sources.rawlog import (
+            BOUNDARY_OVERSCAN, read_raw_logs, read_raw_logs_chunked,
+        )
+
+        big_detail = "D" * (3 * BOUNDARY_OVERSCAN)
+        f = tmp_path / "huge.log"
+        f.write_text(
+            "2025-01-01 10:00:00.000 UTC [1] LOG:  before\n"
+            "2025-01-01 10:00:01.000 UTC [1] ERROR:  big one\n"
+            f"DETAIL:  {big_detail}\n"
+            "2025-01-01 10:00:02.000 UTC [1] LOG:  after\n"
+        )
+        whole = sorted(read_raw_logs(str(f)).to_pandas()["text"])
+        chunked = sorted(
+            read_raw_logs_chunked(
+                str(f), chunk_bytes=BOUNDARY_OVERSCAN // 4
+            ).to_pandas()["text"]
+        )
+        assert chunked == whole
+        assert any(len(t) > 3 * BOUNDARY_OVERSCAN for t in chunked)
 
     def test_chunk_boundary_never_splits_records(self, tmp_path):
         from pgweasel_ray.sources.rawlog import read_raw_logs_chunked
