@@ -125,7 +125,9 @@ def route(
                     fn_kwargs={"salt": salt},
                 )
                 keys = keys + ["_salt"]
-            ds = ds.repartition(n_cpus, keys=keys, sort=False)
+            ds = ds.repartition(
+                _num_partitions(shard_files, n_cpus), keys=keys, sort=False
+            )
             ds = ds.map_batches(
                 _local_sort, batch_format="pyarrow", zero_copy_batch=True,
                 batch_size=None, fn_kwargs={"drop_salt": bool(salt)},
@@ -141,6 +143,24 @@ def route(
             extra={"by_severity": by_severity},
         )
     return manifest
+
+
+TARGET_PARTITION_BYTES = 16 * 1024 * 1024  # parquet bytes per aggregator
+
+
+def _num_partitions(shard_files: list[str], n_cpus: int) -> int:
+    """Aggregator partition count for the keyed repartition, sized by DATA
+    not just CPUs: one 1-CPU aggregator actor per partition competes with
+    the parse/enrich maps it depends on, so small inputs want few
+    partitions (measured 3.0s vs 3.5s at 600k turns / 32 cpus with 8 vs
+    32), while large inputs need enough partitions to keep the local-sort +
+    write fan-out parallel (measured 11.4s vs 9.9s at 4M turns / 16 cpus
+    with 4 vs 16). floor max(4, cpus/4); ceiling 4×cpus."""
+    import os
+
+    input_bytes = sum(os.path.getsize(f) for f in shard_files)
+    by_data = input_bytes // TARGET_PARTITION_BYTES
+    return int(min(max(by_data, max(4, n_cpus // 4)), 4 * n_cpus))
 
 
 def _local_sort(batch: pa.Table, drop_salt: bool = False) -> pa.Table:
