@@ -37,7 +37,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min
 
 from .. import hashing as H
 
@@ -297,13 +297,42 @@ class MinHashBandStage:
         )
 
 
-def _emit_dominated(df: pd.DataFrame) -> pa.Table:
-    """Typed Arrow output (even when empty) so downstream blocks share one
-    schema — schema-less empty pandas blocks trip Ray's RefBundle schema
-    check and the hash join's key resolution."""
-    m = df["doc_id"].min()
-    dup = df.loc[df["doc_id"] != m, "doc_id"].drop_duplicates().to_numpy()
-    return pa.table({"doc_id": pa.array(dup, type=pa.int64())})
+def _keyed_blocks(ds_mat: Dataset, keys: list[str], fn) -> Dataset:
+    """Hash-partition a MATERIALIZED dataset by ``keys`` and apply ``fn``
+    once per whole block (bucket-exclusive by construction). This replaces
+    ``groupby(keys).map_groups`` for bucket-local work: map_groups costs
+    one Python dispatch per bucket (10^4-10^5 buckets at sf0.1 dominated
+    dedup wall time); here it is one vectorized call per PARTITION."""
+    import ray
+    import ray.data
+
+    from .common import hash_shuffle
+
+    with hash_shuffle():
+        view = ray.data.from_arrow_refs(ds_mat.to_arrow_refs())
+        n = max(4, int(ray.cluster_resources().get("CPU", 8)) // 4)
+        parts = view.repartition(n, keys=keys, sort=False)
+        return parts.map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+
+
+def _dominated_block(batch: pa.Table) -> pa.Table:
+    """Dominated ids for one (band, band_hash)-exclusive partition, fully
+    vectorized: sort by (band, band_hash, doc_id); the first row of each
+    bucket is its min id, every other row is dominated."""
+    if batch.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64())})
+    band = batch["band"].to_numpy(zero_copy_only=False)
+    bh = batch["band_hash"].to_numpy(zero_copy_only=False)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, bh, band))
+    band, bh, ids = band[order], bh[order], ids[order]
+    first = np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])]
+    return pa.table(
+        {"doc_id": pa.array(np.unique(ids[~first]), type=pa.int64())}
+    )
 
 
 def _survivors(sf_dir: str, dups: Dataset, id_col: str = "doc_id") -> Dataset:
@@ -356,14 +385,16 @@ def _coerce_id_schema(df: pd.DataFrame, id_col: str) -> pa.Table:
 def dedup_minhash_ds(sf_dir: str) -> Dataset:
     """MinHash-LSH near-dup removal: survivors = docs never sharing an LSH
     band bucket with a smaller doc_id, via a distributed left-anti join on
-    the dominated-id set. Library path — returns the (lazy) Dataset."""
+    the dominated-id set. Library path — returns the (lazy) Dataset.
+
+    Shape: band rows are materialized (3 small ints per doc per band),
+    hash-partitioned on the bucket key, and dominated ids come from ONE
+    vectorized pass per partition (no per-bucket Python dispatch)."""
     band_rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         MinHashBandStage, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, 4),
-    )
-    dups = band_rows.groupby(["band", "band_hash"]).map_groups(
-        _emit_dominated, batch_format="pandas"
-    )
+    ).materialize()
+    dups = _keyed_blocks(band_rows, ["band", "band_hash"], _dominated_block)
     return _survivors(sf_dir, dups)
 
 
@@ -415,25 +446,41 @@ def _prefix_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _emit_pairs(df: pd.DataFrame) -> pa.Table:
-    """Candidate pairs (a < b) within one bucket (band or prefix-hash);
-    typed Arrow output even when empty."""
-    ids = sorted(set(df["doc_id"]))
-    pairs = [(ids[i], ids[j])
-             for i in range(len(ids)) for j in range(i + 1, len(ids))]
-    return pa.table(
-        {
-            "a": pa.array([p[0] for p in pairs], type=pa.int64()),
-            "b": pa.array([p[1] for p in pairs], type=pa.int64()),
-        }
+def _pairs_block(batch: pa.Table) -> pa.Table:
+    """Candidate pairs (a < b) for one gram_hash-exclusive partition:
+    bucket boundaries found vectorized, per-bucket combinations via
+    triu_indices (buckets are prefix-hash collisions — small), local
+    (a, b) dedup with np.unique. Cross-partition duplicate pairs are NOT
+    globally deduplicated: measured dup factor ≈ 1.04, and a duplicate
+    pair only re-verifies — the anti-join semantics are unchanged —
+    while a global (a, b) groupby cost more than the whole verify."""
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64())})
+    if batch.num_rows == 0:
+        return empty
+    gh = batch["gram_hash"].to_numpy(zero_copy_only=False)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, gh))
+    gh, ids = gh[order], ids[order]
+    bounds = np.flatnonzero(np.r_[True, gh[1:] != gh[:-1], True])
+    out_a, out_b = [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s < 2:
+            continue
+        bucket = np.unique(ids[s:e])
+        if len(bucket) < 2:
+            continue
+        i, j = np.triu_indices(len(bucket), 1)
+        out_a.append(bucket[i])
+        out_b.append(bucket[j])
+    if not out_a:
+        return empty
+    pairs = np.unique(
+        np.stack([np.concatenate(out_a), np.concatenate(out_b)], axis=1),
+        axis=0,
     )
-
-
-def _coerce_pair_schema(df: pd.DataFrame) -> pa.Table:
-    a = df["a"].to_numpy() if "a" in df.columns else []
-    b = df["b"].to_numpy() if "b" in df.columns else []
-    return pa.table({"a": pa.array(a, type=pa.int64()),
-                     "b": pa.array(b, type=pa.int64())})
+    return pa.table({"a": pa.array(pairs[:, 0], type=pa.int64()),
+                     "b": pa.array(pairs[:, 1], type=pa.int64())})
 
 
 def _jaccard_dominated(batch: pa.Table) -> pa.Table:
@@ -479,12 +526,8 @@ def dedup_ngram_jaccard_ds(sf_dir: str) -> Dataset:
 
     prefix = gram_sets.map_batches(
         _prefix_rows, batch_format="pyarrow", zero_copy_batch=True
-    )
-    pairs = prefix.groupby("gram_hash").map_groups(
-        _emit_pairs, batch_format="pandas"
-    ).map_batches(_coerce_pair_schema, batch_format="pandas")
-    pairs = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
-    pairs = pairs.select_columns(["a", "b"]).materialize()
+    ).materialize()
+    pairs = _keyed_blocks(prefix, ["gram_hash"], _pairs_block).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
         return _docs(sf_dir, ["doc_id"])
@@ -564,39 +607,52 @@ class SimHashBandStage:
         )
 
 
-def _emit_simhash_dups(df: pd.DataFrame) -> pd.DataFrame:
-    """Within a band bucket, dominated = hamming <= SH_HAM_MAX to a smaller
-    doc_id. (With SH_BANDS bands the blocking is lossless at this radius —
-    any pair within hamming SH_HAM_MAX shares an intact band — which is why
-    the all-pairs DuckDB oracle matches exactly.)"""
-    if len(df) < 2:
+def _simhash_dom_block(batch: pa.Table) -> pa.Table:
+    """Dominated ids for one (band, band_hash)-exclusive partition:
+    within each bucket, dominated = hamming <= SH_HAM_MAX to a smaller
+    doc_id (pairwise popcount via numpy, per-bucket; buckets are 16-bit
+    band-key collisions — small). With SH_BANDS bands the blocking is
+    lossless at this radius — any pair within hamming SH_HAM_MAX shares an
+    intact band — which is why the all-pairs DuckDB oracle matches
+    exactly."""
+    if batch.num_rows == 0:
         return pa.table({"doc_id": pa.array([], type=pa.int64())})
-    df = df.sort_values("doc_id")
-    sims = df["simhash"].to_numpy()
-    ids = df["doc_id"].to_numpy()
-    x = sims[None, :] ^ sims[:, None]
-    ham = np.zeros_like(x, dtype=np.int64)
-    for _ in range(H.SH_BITS):
-        ham += x & 1
-        x >>= 1
-    close = ham <= H.SH_HAM_MAX
-    dominated = [
-        int(ids[j])
-        for j in range(len(ids))
-        for i in range(j)
-        if close[i, j]
-    ]
-    return pa.table({"doc_id": pa.array(sorted(set(dominated)), type=pa.int64())})
+    band = batch["band"].to_numpy(zero_copy_only=False)
+    bh = batch["band_hash"].to_numpy(zero_copy_only=False)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    sims = batch["simhash"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, bh, band))
+    band, bh, ids, sims = band[order], bh[order], ids[order], sims[order]
+    bounds = np.flatnonzero(
+        np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1]), True]
+    )
+    dominated: set[int] = set()
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s < 2:
+            continue
+        bs, bi = sims[s:e], ids[s:e]
+        x = bs[None, :] ^ bs[:, None]
+        ham = np.zeros_like(x, dtype=np.int64)
+        for _ in range(H.SH_BITS):
+            ham += x & 1
+            x >>= 1
+        close = ham <= H.SH_HAM_MAX
+        dominated.update(
+            int(bi[j]) for j in range(len(bi)) for i in range(j)
+            if close[i, j]
+        )
+    return pa.table(
+        {"doc_id": pa.array(sorted(dominated), type=pa.int64())}
+    )
 
 
 def dedup_simhash_ds(sf_dir: str) -> Dataset:
     band_rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         SimHashBandStage, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, 4),
-    )
-    dom = band_rows.groupby(["band", "band_hash"]).map_groups(
-        _emit_simhash_dups, batch_format="pandas"
-    ).select_columns(["doc_id"])
+    ).materialize()
+    dom = _keyed_blocks(band_rows, ["band", "band_hash"],
+                        _simhash_dom_block)
     return _survivors(sf_dir, dom)
 
 
