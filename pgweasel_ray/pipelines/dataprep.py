@@ -484,10 +484,16 @@ def _pairs_block(batch: pa.Table) -> pa.Table:
 
 
 def _jaccard_dominated(batch: pa.Table) -> pa.Table:
-    """Vectorized-per-pair verification: J = |A∩B| / |A∪B| via intersect of
-    the two sorted-unique hash lists (shipped as packed-int64 binary — Ray's
-    hash join rejects list payload columns); emits dominated (larger)
-    doc_ids. Exact integer threshold: JC_DEN*inter >= JC_NUM*union."""
+    """Per-pair verification: J = |A∩B| / |A∪B| via intersect of the two
+    sorted-unique hash lists (shipped as packed-int64 binary — Ray's hash
+    join rejects list payload columns); emits dominated (larger) doc_ids.
+    Exact integer threshold: JC_DEN*inter >= JC_NUM*union.
+
+    Deliberately a per-pair numpy loop: intersect1d on ~10²-element unique
+    arrays is ~10 µs, so 100k pairs verify in ~1 s per batch; the "fully
+    vectorized" alternative (pack (pair, gram) into int64 keys, one global
+    np.unique, bincount the count-2 keys) was A/B'd 20× SLOWER — it sorts
+    |pairs|·|grams| keys where the loop only merges presorted pairs."""
     a_grams = batch["a_grams"].to_pylist()
     b_grams = batch["b_grams"].to_pylist()
     bs = batch["b"].to_numpy(zero_copy_only=False)
