@@ -87,6 +87,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_filter": dataprep.docs_quality_filter,
         "docs_lang_id": dataprep.docs_lang_id,
         "docs_fingerprint": dataprep.docs_fingerprint,
+        # corpus construction: sampling / vocab / decontamination / quantiles
+        "docs_sample_hash": dataprep.docs_sample_hash,
+        "docs_vocab_topk": dataprep.docs_vocab_topk,
+        "docs_decontaminate": dataprep.docs_decontaminate,
+        "docs_length_quantiles": dataprep.docs_length_quantiles,
         "ann_cosine_topk": dataprep.ann_cosine_topk,
         "ann_lsh_topk": dataprep.ann_lsh_topk,
         "ann_ivf_topk": dataprep.ann_ivf_topk,

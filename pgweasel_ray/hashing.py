@@ -58,6 +58,10 @@ for _i in range(FP_K - 1, -1, -1):
 JC_NUM = 7               # J >= 7/10  <=>  10*|A∩B| >= 7*|A∪B|
 JC_DEN = 10
 
+# --- deterministic hash sampling ---------------------------------------------
+SAMPLE_A = 1103515245          # affine sampling hash: ((id % P)*A + B) % P
+SAMPLE_B = 12345
+
 # --- ANN constants ------------------------------------------------------------
 LSH_N_PLANES = 8
 LSH_SEED = 777

@@ -92,6 +92,46 @@ SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM dom)"""
 
 
+def _sample_hash_sql() -> str:
+    return f"""SELECT doc_id FROM documents
+WHERE (((doc_id % {H.P}) * {H.SAMPLE_A} + {H.SAMPLE_B}) % {H.P}) * 100
+      < {dataprep.SAMPLE_RATE_PCT}::BIGINT * {H.P}"""
+
+
+def _vocab_topk_sql() -> str:
+    return rf"""WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
+  FROM documents
+)
+SELECT word, count(*) AS cnt FROM w
+GROUP BY word ORDER BY cnt DESC, word LIMIT {dataprep.VOCAB_TOP_K}"""
+
+
+def _decontaminate_sql() -> str:
+    """Same rule as DecontaminateStage: corpus docs (doc_id >= bench max)
+    sharing no word-shingle hash with any benchmark doc."""
+    mx = dataprep.DECONTAM_BENCH_MAX_ID
+    return f"""WITH {H.sql_gram_hashes_cte()}, bgl AS (
+  SELECT list_distinct(flatten(list(hs))) AS bg
+  FROM gh WHERE doc_id < {mx}
+)
+SELECT gh.doc_id FROM gh, bgl
+WHERE gh.doc_id >= {mx} AND len(list_intersect(gh.hs, bgl.bg)) = 0"""
+
+
+def _length_quantiles_sql() -> str:
+    pcts = ", ".join(f"({p})" for p in dataprep.QUANTILE_PCTS)
+    return rf"""WITH t AS (
+  SELECT len(regexp_extract_all(text, '\S+'))::BIGINT AS n FROM documents
+), o AS (
+  SELECT n, row_number() OVER (ORDER BY n) - 1 AS r FROM t
+), c AS (SELECT count(*) AS cnt FROM t)
+SELECT q.pct::BIGINT AS pct, o.n AS n_tokens
+FROM (VALUES {pcts}) q(pct), c, o
+WHERE o.r = (q.pct * (c.cnt - 1)) // 100
+ORDER BY pct"""
+
+
 def _ann_lsh_sql(dim: int, k: int = 10) -> str:
     bucket = H.sql_lsh_bucket_expr("embedding", dim)
     qbucket = H.sql_lsh_bucket_expr("qv", dim)
@@ -338,6 +378,10 @@ LIMIT 10""",
         "dedup_simhash": _dedup_simhash_sql(),
         "docs_lang_id": _lang_id_sql(),
         "docs_fingerprint": H.sql_fingerprint_select(),
+        "docs_sample_hash": _sample_hash_sql(),
+        "docs_vocab_topk": _vocab_topk_sql(),
+        "docs_decontaminate": _decontaminate_sql(),
+        "docs_length_quantiles": _length_quantiles_sql(),
         "ann_lsh_topk": _ann_lsh_sql(dataprep._embedding_dim(sf_dir)),
         "ann_ivf_topk": _ann_ivf_sql(sf_dir),
         "embed_neardup": _embed_neardup_sql(dataprep._embedding_dim(sf_dir)),

@@ -876,6 +876,137 @@ def _filter_ivf_lists(batch: pa.Table, lists: list[int]) -> pa.Table:
     return batch.filter(pc.fill_null(mask, False))
 
 
+# --- corpus-construction operators -------------------------------------------
+
+SAMPLE_RATE_PCT = 20
+
+
+def _sample_filter(batch: pa.Table, rate_pct: int) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    h = ((ids % H.P) * H.SAMPLE_A + H.SAMPLE_B) % H.P
+    return batch.filter(pa.array(h * 100 < rate_pct * H.P))
+
+
+def docs_sample_hash(sf_dir: str, rate_pct: int = SAMPLE_RATE_PCT) -> Dataset:
+    """Deterministic ~rate_pct% corpus sample: keep doc iff the affine hash
+    of its id falls under the rate threshold (pure integer comparison —
+    identical in the DuckDB oracle). Hash sampling is THE reproducible
+    sampling primitive at 100 TB: stateless, shuffle-free, stable across
+    reruns and partitionings, composable with any upstream filter."""
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        _sample_filter, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"rate_pct": rate_pct},
+    )
+
+
+VOCAB_TOP_K = 50
+
+
+def _explode_words(batch: pa.Table) -> pa.Table:
+    """doc → one row per word token (the explode shape). Vectorized:
+    split_pattern_regex on whitespace == the '\\S+' token definition after
+    dropping empty fragments."""
+    words = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"\s+")
+    flat = pc.list_flatten(words)
+    return pa.table({"word": flat.filter(pc.not_equal(flat, ""))})
+
+
+def docs_vocab_topk(sf_dir: str, k: int = VOCAB_TOP_K) -> Dataset:
+    """Corpus vocabulary: top-k words by frequency (ties → word asc).
+    Explode → per-block pre-aggregated count (the shuffle moves (word,
+    count) partials, never the exploded rows) → distributed sort+limit —
+    the vocabulary-construction pass of a tokenizer-training pipeline."""
+    from .common import grouped_count
+
+    words = _docs(sf_dir, ["text"]).map_batches(
+        _explode_words, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = grouped_count(words, ["word"])
+    return counts.sort(["cnt", "word"], descending=[True, False]).limit(k)
+
+
+DECONTAM_BENCH_MAX_ID = 10  # doc_id < 10 ⇒ benchmark member
+
+
+class DecontaminateStage:
+    """Drop corpus docs sharing ANY word-shingle with the (small) benchmark
+    set — train/test decontamination. The benchmark gram-hash set is built
+    once and broadcast (ray.put → per-actor set); the corpus side streams
+    through a stateless gram-hash + membership filter. A 100 TB corpus
+    never shuffles: only the benchmark grams move."""
+
+    def __init__(self, bench_grams):
+        import ray
+
+        if isinstance(bench_grams, ray.ObjectRef):
+            bench_grams = ray.get(bench_grams)
+        self.bench = bench_grams  # sorted np.int64 array
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        keep = np.zeros(len(ids), dtype=bool)
+        for i, t in enumerate(texts):
+            if ids[i] < DECONTAM_BENCH_MAX_ID:
+                continue  # benchmark members never enter the corpus
+            hs = H.gram_hash_array(H.tokens(t))
+            idx = np.searchsorted(self.bench, hs)
+            idx[idx == len(self.bench)] = 0
+            keep[i] = not np.any(self.bench[idx] == hs) if len(self.bench) \
+                else True
+        return pa.table({"doc_id": pa.array(ids[keep], type=pa.int64())})
+
+
+def docs_decontaminate(sf_dir: str) -> Dataset:
+    """Survivors = docs outside the benchmark set (doc_id <
+    DECONTAM_BENCH_MAX_ID) sharing no word-shingle hash with any benchmark
+    doc. Oracle: the same rule as list_intersect SQL over the shared gram
+    CTE."""
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(Path(sf_dir) / "documents.parquet",
+                      columns=["doc_id", "text"])
+    bench_mask = pc.less(t["doc_id"], DECONTAM_BENCH_MAX_ID)
+    bench_texts = t.filter(bench_mask)["text"].to_pylist()
+    grams = [H.gram_hash_array(H.tokens(x)) for x in bench_texts]
+    bench = np.unique(np.concatenate(grams)) if grams else np.empty(0, np.int64)
+    ref = ray.put(bench)
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        DecontaminateStage, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_args=(ref,), concurrency=(1, 4),
+    )
+
+
+QUANTILE_PCTS = (0, 25, 50, 75, 100)
+
+
+def docs_length_quantiles(sf_dir: str,
+                          pcts: tuple[int, ...] = QUANTILE_PCTS) -> pd.DataFrame:
+    """EXACT token-length quantiles (index = pct·(n-1)//100 of the sorted
+    values) via the count-fold pattern: token counts are low-cardinality,
+    so the distributed part is a (value, count) grouped count — the shuffle
+    moves one row per DISTINCT length — and the quantile selection walks
+    the tiny sorted histogram driver-side. Exact at any corpus size without
+    a global sort."""
+    from .common import grouped_count
+
+    stats = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _token_stats, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["n_tokens"])
+    hist = grouped_count(stats, ["n_tokens"]).sort("n_tokens").to_pandas()
+    counts = hist["cnt"].to_numpy()
+    values = hist["n_tokens"].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out = []
+    for pct in pcts:
+        idx = pct * (n - 1) // 100
+        pos = int(np.searchsorted(cum, idx + 1))
+        out.append((pct, int(values[pos])))
+    return pd.DataFrame(out, columns=["pct", "n_tokens"])
+
+
 EMBED_NEARDUP_THRESHOLD = 0.999
 
 

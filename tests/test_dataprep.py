@@ -163,6 +163,62 @@ def test_embed_neardup_crafted(tmp_path):
     assert got == [0, 2]  # 1 is a scaled copy of 0 → removed
 
 
+def test_sample_hash_deterministic_and_rate(sf_dir):
+    a = sorted(to_df(dataprep.docs_sample_hash(sf_dir))["doc_id"])
+    b = sorted(to_df(dataprep.docs_sample_hash(sf_dir))["doc_id"])
+    assert a == b  # rerun-stable
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    rate = len(a) / t.num_rows
+    assert 0.1 < rate < 0.35  # ~20% nominal
+
+
+def test_vocab_topk_matches_counter(sf_dir):
+    got = to_df(dataprep.docs_vocab_topk(sf_dir))
+    import collections
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    c = collections.Counter(
+        w for x in t["text"].to_pylist() for w in x.lower().split()
+    )
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:dataprep.VOCAB_TOP_K]
+    assert list(zip(got["word"], got["cnt"])) == want
+
+
+def test_decontaminate_crafted(tmp_path):
+    from pgweasel_ray import hashing as H
+
+    bench = "the secret benchmark question about unicorns and rainbows"
+    texts = (
+        [bench] * dataprep.DECONTAM_BENCH_MAX_ID  # benchmark ids 0..9
+        + [
+            "completely unrelated corpus document with its own vocabulary",
+            "another clean document that shares nothing with the benchmark",
+            "a contaminated one: the secret benchmark question appears here",
+        ]
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = sorted(to_df(dataprep.docs_decontaminate(str(tmp_path)))["doc_id"])
+    assert got == [10, 11]  # 12 shares the "the secret benchmark" shingles
+
+
+def test_length_quantiles_exact(sf_dir):
+    got = dataprep.docs_length_quantiles(sf_dir)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    lens = sorted(len(x.split()) for x in t["text"].to_pylist())
+    for _, row in got.iterrows():
+        idx = int(row["pct"]) * (len(lens) - 1) // 100
+        assert row["n_tokens"] == lens[idx]
+
+
 def test_token_stats_matches_python(sf_dir):
     got = to_df(dataprep.docs_token_stats(sf_dir)).set_index("doc_id")
     t = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas().set_index("doc_id")
