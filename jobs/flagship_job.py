@@ -29,6 +29,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True, help="routed sink directory")
     p.add_argument("--shards", type=int, default=8)
     p.add_argument("--no-enrich", action="store_true")
+    p.add_argument("--salt", type=int, default=None,
+                   help="hot-key salt for the (severity, tool) repartition")
     args = p.parse_args(argv)
 
     import ray
@@ -48,7 +50,7 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.monotonic()
     manifest = router.route(args.input, out_dir=args.out,
                             num_shards=args.shards,
-                            enrich=not args.no_enrich)
+                            enrich=not args.no_enrich, salt=args.salt)
     wall = time.monotonic() - t0
     print(json.dumps({
         "rows": manifest.total_rows(),
