@@ -31,6 +31,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-enrich", action="store_true")
     p.add_argument("--salt", type=int, default=None,
                    help="hot-key salt for the (severity, tool) repartition")
+    p.add_argument("--exchange", choices=("compact", "hash"),
+                   default="compact")
     args = p.parse_args(argv)
 
     import ray
@@ -50,7 +52,8 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.monotonic()
     manifest = router.route(args.input, out_dir=args.out,
                             num_shards=args.shards,
-                            enrich=not args.no_enrich, salt=args.salt)
+                            enrich=not args.no_enrich, salt=args.salt,
+                            exchange=args.exchange)
     wall = time.monotonic() - t0
     print(json.dumps({
         "rows": manifest.total_rows(),

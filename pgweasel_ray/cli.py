@@ -193,8 +193,12 @@ def build_parser() -> argparse.ArgumentParser:
     route.add_argument("--out", required=True)
     route.add_argument("--shards", type=int, default=4)
     route.add_argument("--salt", type=int, default=None,
-                       help="hot-key salt: spread each (severity, tool) "
-                            "partition over N shuffle aggregators")
+                       help="hot-key salt for --exchange hash: spread each "
+                            "(severity, tool) partition over N aggregators")
+    route.add_argument("--exchange", choices=("compact", "hash"),
+                       default="compact",
+                       help="partition exchange: write-then-compact "
+                            "(map-only, default) or keyed hash shuffle")
     return p
 
 
@@ -339,7 +343,7 @@ def main(argv: list[str] | None = None) -> int:
 
     elif args.command == "route":
         manifest = router.route(inp, out_dir=args.out, num_shards=args.shards,
-                                salt=args.salt)
+                                salt=args.salt, exchange=args.exchange)
         print(f"routed {manifest.total_rows()} turns into "
               f"{len(manifest.entries)} shards under {args.out}")
 

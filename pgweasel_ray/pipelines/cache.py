@@ -24,7 +24,7 @@ from ray.data import Dataset
 
 from ..sources import lookups
 from ..sources.transcripts import read_transcripts
-from ..stages.enrich import EnrichStage
+from ..stages.enrich import enrich_batch
 from ..stages.parse import add_bucket, parse_filter_project
 from . import core
 from .common import grouped_count, global_sums, hash_shuffle
@@ -189,11 +189,11 @@ def enriched_severity_counts_from(parsed: Dataset, sf_dir: str) -> Dataset:
     role_map = lookups.load_map(sf_dir, "role_tenant")
     tool_map = lookups.load_map(sf_dir, "tool_subsystem")
     enriched = parsed.select_columns(["role", "tool", "severity"]).map_batches(
-        EnrichStage,
+        enrich_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_constructor_args=(ray.put(role_map), ray.put(tool_map)),
-        concurrency=(1, 4),
+        fn_kwargs={"role_ref": ray.put(role_map),
+                   "tool_ref": ray.put(tool_map)},
     )
     return grouped_count(
         enriched.select_columns(["tenant", "subsystem", "severity"]),

@@ -25,7 +25,7 @@ from ray.data import Dataset
 from ..kernels import parse_table
 from ..sources import lookups
 from ..sources.transcripts import read_transcripts
-from ..stages.enrich import EnrichStage
+from ..stages.enrich import enrich_batch
 from ..stages.parse import add_bucket, parse_filter_project
 from .common import global_sums, grouped_count
 
@@ -539,11 +539,11 @@ def enriched_severity_counts(sf_dir: str) -> Dataset:
         fn_kwargs=dict(groups=("severity",), keep=("role", "tool", "severity")),
     )
     enriched = parsed.map_batches(
-        EnrichStage,
+        enrich_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_constructor_args=(ray.put(role_map), ray.put(tool_map)),
-        concurrency=(1, 4),
+        fn_kwargs={"role_ref": ray.put(role_map),
+                   "tool_ref": ray.put(tool_map)},
     )
     return grouped_count(
         enriched.select_columns(["tenant", "subsystem", "severity"]),

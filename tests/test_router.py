@@ -70,28 +70,40 @@ def test_resume_rewrites_missing_shard(routed, sf_dir):
     assert m.total_rows() == total_before  # no duplication, no loss
 
 
-def test_salted_route_same_partition_contents(routed, sf_dir, tmp_path):
-    """salt=N must only change HOW rows travel (N aggregators per hot
-    (severity, tool) pair instead of one) — every hive partition dir holds
-    the identical row set, and within-conversation turn order is intact."""
+def test_exchange_modes_same_partition_contents(routed, sf_dir, tmp_path):
+    """All exchange modes (compact [the routed fixture's default], hash,
+    hash+salt) must only change HOW rows travel — every hive partition dir
+    holds the identical row set, and within-conversation turn order is
+    intact."""
     import duckdb
 
-    _, out_plain, _ = routed
+    _, out_compact, _ = routed  # default exchange="compact"
+    out_hash = tmp_path / "hash"
+    router.route(sf_dir, out_dir=out_hash, num_shards=4, exchange="hash")
     out_salted = tmp_path / "salted"
-    router.route(sf_dir, out_dir=out_salted, num_shards=4, salt=4)
+    router.route(sf_dir, out_dir=out_salted, num_shards=4, exchange="hash",
+                 salt=4)
 
     q = ("SELECT severity, tool, conv_id, turn_idx, text "
          "FROM read_parquet('{}/shard=*/severity=*/tool=*/*.parquet', "
          "hive_partitioning=1)")
     key = ["severity", "tool", "conv_id", "turn_idx"]
-    plain = duckdb.sql(q.format(out_plain)).df().sort_values(key).reset_index(drop=True)
+    compact = duckdb.sql(q.format(out_compact)).df().sort_values(key).reset_index(drop=True)
+    hashed = duckdb.sql(q.format(out_hash)).df().sort_values(key).reset_index(drop=True)
     salted = duckdb.sql(q.format(out_salted)).df().sort_values(key).reset_index(drop=True)
-    assert plain.equals(salted)
+    assert compact.equals(hashed)
+    assert compact.equals(salted)
     # no _salt column may leak into the written files
     cols = duckdb.sql(
         f"SELECT * FROM read_parquet('{out_salted}/shard=0/severity=*/tool=*/*.parquet') LIMIT 0"
     ).df().columns
     assert "_salt" not in cols
+    # per-partition (conv_id, turn_idx) order inside the compact files
+    one = sorted((out_compact / "shard=0").glob("severity=*/tool=*/*.parquet"))[0]
+    df = duckdb.sql(f"SELECT conv_id, turn_idx FROM read_parquet('{one}')").df()
+    assert df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True).equals(
+        df.reset_index(drop=True)
+    )
 
 
 def test_routed_readback_row_texts(routed, sf_dir):
