@@ -190,8 +190,14 @@ def _route_shard_compact(shard_files: list[str], shard_dir: Path,
     fragments into a single (conv_id, turn_idx)-sorted file. No shuffle
     operator runs at all — the exchange is the storage layer, which is the
     piece a multi-node cluster scales with node count (S3/HDFS compaction
-    pattern). Transient fragment count = blocks × live partitions per
-    block, bounded per shard and deleted after the merge."""
+    pattern).
+
+    Transient fragment count = map blocks × live partitions per block.
+    Blocks = max(cpus, input files) (override_num_blocks), NOT row count,
+    so a 1 TB shard on a 256-core cluster writes ≤ 256×partitions
+    fragments — bounded, and deleted after the merge. A crashed run leaves
+    ``<shard>.frags`` and no committed manifest entry; the rerun wipes and
+    rebuilds both (asserted in test_router)."""
     import ray
     import ray.data
 

@@ -106,6 +106,23 @@ def test_exchange_modes_same_partition_contents(routed, sf_dir, tmp_path):
     )
 
 
+def test_crashed_compact_run_resumes_clean(routed, sf_dir, tmp_path):
+    """A run that died mid-compaction leaves a stale .frags dir and an
+    uncommitted shard; the rerun must wipe both and produce the exact
+    committed state of a clean run."""
+    out = tmp_path / "crashed"
+    # simulate the crash artifacts of shard 0
+    frags = out / "shard=0.frags" / "severity=error" / "tool=bash"
+    frags.mkdir(parents=True)
+    (frags / "frag-dead.parquet").write_bytes(b"not a parquet file")
+    (out / "shard=0" / "severity=error").mkdir(parents=True)
+
+    m = router.route(sf_dir, out_dir=out, num_shards=2)
+    assert not (out / "shard=0.frags").exists()
+    _, out_ref, ref_manifest = routed
+    assert m.total_rows() == ref_manifest.total_rows()
+
+
 def test_routed_readback_row_texts(routed, sf_dir):
     """Set equality of routed rows vs input — the routed-row invariant."""
     _, out, _ = routed
