@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_id": dataprep.docs_lang_id,
         "docs_fingerprint": dataprep.docs_fingerprint,
         # corpus construction: sampling / vocab / decontamination / quantiles
+        # + the composed quality→dedup→decontaminate recipe
+        "corpus_prep": dataprep.corpus_prep,
         "docs_sample_hash": dataprep.docs_sample_hash,
         "docs_vocab_topk": dataprep.docs_vocab_topk,
         "docs_decontaminate": dataprep.docs_decontaminate,

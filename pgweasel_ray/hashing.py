@@ -260,51 +260,56 @@ def sql_words(expr: str = "text") -> str:
     return rf"regexp_extract_all(lower({expr}), '\S+')"
 
 
-def sql_gram_hashes_cte(table: str = "documents") -> str:
+def sql_gram_hashes_cte(table: str = "documents", prefix: str = "") -> str:
     """CTE chain ``w → padded → grams → gh`` ending with
-    gh(doc_id, hs list<bigint>) — the per-doc shingle hash list."""
+    {prefix}gh(doc_id, hs list<bigint>) — the per-doc shingle hash list.
+    ``prefix`` namespaces the CTEs so two chains can coexist in one query
+    (used by the composed corpus_prep oracle)."""
     pad = ord(GRAM_PAD)
     sep = ord(GRAM_SEP)
     n = MH_SHINGLE
+    p = prefix
     gram_expr = f" || chr({sep}) || ".join(
         f"words[i+{j}]" if j else "words[i]" for j in range(n)
     )
-    return f"""w AS (
+    return f"""{p}w AS (
   SELECT doc_id, {sql_words()} AS words FROM {table}
-), padded AS (
+), {p}padded AS (
   SELECT doc_id, CASE WHEN len(words) >= {n} THEN words
     ELSE list_concat(words,
                      list_transform(range(len(words), {n}), x -> chr({pad})))
     END AS words
-  FROM w
-), grams AS (
+  FROM {p}w
+), {p}grams AS (
   SELECT doc_id,
          list_transform(range(1, len(words)-{n - 2}), i -> {gram_expr})
            AS grams
-  FROM padded
-), gh AS (
+  FROM {p}padded
+), {p}gh AS (
   SELECT doc_id, list_transform(grams, g -> {sql_poly_hash('g')}) AS hs
-  FROM grams
+  FROM {p}grams
 )"""
 
 
-def sql_minhash_bands_cte(table: str = "documents") -> str:
-    """CTE chain ending with bands(doc_id, band, band_hash) — the exact rows
-    MinHashBandStage emits. Permutation/mixer constants are embedded."""
+def sql_minhash_bands_cte(table: str = "documents", prefix: str = "") -> str:
+    """CTE chain ending with {prefix}bands(doc_id, band, band_hash) — the
+    exact rows MinHashBandStage emits. Permutation/mixer constants are
+    embedded; ``prefix`` namespaces the CTEs."""
     a, b, c = _sql_list(MH_A), _sql_list(MH_B), _sql_list(MH_C)
+    p = prefix
     mix = " + ".join(
         f"(sig[{MH_ROWS}*t.band+{i + 1}] * ({c})[{i + 1}]) % {P}"
         for i in range(MH_ROWS)
     )
-    return f"""{sql_gram_hashes_cte(table)}, sig_t AS (
+    return f"""{sql_gram_hashes_cte(table, prefix)}, {p}sig_t AS (
   SELECT doc_id,
          list_transform(range(1, {MH_NUM_PERM + 1}), j ->
            list_min(list_transform(hs,
              h -> (({a})[j] * h + ({b})[j]) % {P}))) AS sig
-  FROM gh
-), bands AS (
+  FROM {p}gh
+), {p}bands AS (
   SELECT doc_id, t.band AS band, ({mix}) % {P} AS band_hash
-  FROM sig_t CROSS JOIN (SELECT unnest(range(0, {MH_BANDS})) AS band) t
+  FROM {p}sig_t CROSS JOIN (SELECT unnest(range(0, {MH_BANDS})) AS band) t
 )"""
 
 

@@ -132,6 +132,40 @@ WHERE o.r = (q.pct * (c.cnt - 1)) // 100
 ORDER BY pct"""
 
 
+def _corpus_prep_sql() -> str:
+    """The composed recipe (quality → exact dedup → MinHash dedup →
+    decontaminate), each stage over the previous stage's survivors —
+    chained CTEs over the same shared hashing constants the Ray stages
+    use. Two gram chains coexist via CTE prefixes."""
+    mx = dataprep.DECONTAM_BENCH_MAX_ID
+    quality = r"""len(regexp_extract_all(text, '\S+')) >= 30
+    AND len(regexp_extract_all(text, '[0-9]'))
+        < 0.3 * greatest(len(regexp_extract_all(text, '\S+')), 1)"""
+    return f"""WITH q AS (
+  SELECT doc_id, text FROM documents
+  WHERE {quality}
+), e AS (
+  SELECT min(doc_id) AS doc_id FROM q GROUP BY text
+), eq AS (
+  SELECT q.doc_id, q.text FROM q JOIN e ON q.doc_id = e.doc_id
+), {H.sql_minhash_bands_cte(table="eq", prefix="m_")}, mdom AS (
+  SELECT DISTINCT b2.doc_id
+  FROM m_bands b1 JOIN m_bands b2
+    ON b1.band = b2.band AND b1.band_hash = b2.band_hash
+   AND b1.doc_id < b2.doc_id
+), m AS (
+  SELECT doc_id FROM eq
+  WHERE doc_id NOT IN (SELECT doc_id FROM mdom)
+), {H.sql_gram_hashes_cte(table="documents", prefix="d_")}, bgl AS (
+  SELECT list_distinct(flatten(list(hs))) AS bg
+  FROM d_gh WHERE doc_id < {mx}
+)
+SELECT m.doc_id FROM m, d_gh, bgl
+WHERE d_gh.doc_id = m.doc_id
+  AND m.doc_id >= {mx}
+  AND len(list_intersect(d_gh.hs, bgl.bg)) = 0"""
+
+
 def _ann_lsh_sql(dim: int, k: int = 10) -> str:
     bucket = H.sql_lsh_bucket_expr("embedding", dim)
     qbucket = H.sql_lsh_bucket_expr("qv", dim)
@@ -378,6 +412,7 @@ LIMIT 10""",
         "dedup_simhash": _dedup_simhash_sql(),
         "docs_lang_id": _lang_id_sql(),
         "docs_fingerprint": H.sql_fingerprint_select(),
+        "corpus_prep": _corpus_prep_sql(),
         "docs_sample_hash": _sample_hash_sql(),
         "docs_vocab_topk": _vocab_topk_sql(),
         "docs_decontaminate": _decontaminate_sql(),

@@ -1007,6 +1007,90 @@ def docs_length_quantiles(sf_dir: str,
     return pd.DataFrame(out, columns=["pct", "n_tokens"])
 
 
+# --- the composed corpus-prep recipe -----------------------------------------
+
+def _quality_keep_rows(batch: pa.Table) -> pa.Table:
+    """Quality filter keeping (doc_id, text) rows (the _quality_filter
+    predicate, but retaining text for the downstream dedup stages)."""
+    q = _quality(batch)
+    nt = q["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+    nd = q["n_digits"].to_numpy(zero_copy_only=False).astype(np.float64)
+    keep = (nt >= QF_MIN_TOKENS) & (nd < QF_MAX_DIGIT_RATIO * np.maximum(nt, 1.0))
+    return batch.select(["doc_id", "text"]).filter(pa.array(keep))
+
+
+def corpus_prep(sf_dir: str) -> pd.DataFrame:
+    """The end-to-end training-corpus construction recipe — the stages of
+    this module COMPOSED in the order a real 100 TB prep job runs them,
+    each stage consuming the previous stage's survivors:
+
+        1. quality filter            (per-doc predicate, no shuffle)
+        2. exact dedup               (content-hash groupby, 24-byte keys)
+        3. MinHash-LSH near-dedup    (banded blocking + anti-join)
+        4. train/test decontamination (broadcast benchmark gram set)
+
+    Stage order matters and is part of the semantics (dedup survivors are
+    min-ids WITHIN the filtered set); the DuckDB oracle chains the same
+    steps over the same shared hashing constants.
+
+    Returns the surviving doc_ids (sorted)."""
+    import ray
+
+    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+
+    # 1. quality filter
+    ds1 = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _quality_keep_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if ds1.count() == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+
+    # 2. exact dedup within the filtered set
+    hashed = ds1.map_batches(
+        _content_hash, batch_format="pyarrow", zero_copy_batch=True
+    )
+    e_ids = hashed.groupby(["h1", "h2"]).aggregate(
+        Min("doc_id", alias_name="doc_id")
+    ).select_columns(["doc_id"]).map_batches(
+        _coerce_id_schema, batch_format="pandas",
+        fn_kwargs={"id_col": "doc_id"},
+    )
+    ds2 = ds1.join(e_ids, join_type="inner", on=("doc_id",),
+                   num_partitions=n_parts).materialize()
+
+    # 3. MinHash-LSH near-dedup within the exact-deduped set
+    band_rows = ds2.map_batches(
+        MinHashBandStage, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4),
+    ).materialize()
+    dom = _keyed_blocks(band_rows, ["band", "band_hash"], _dominated_block)
+    dom = dom.map_batches(
+        _coerce_id_schema, batch_format="pandas",
+        fn_kwargs={"id_col": "doc_id"},
+    ).materialize()
+    if dom.count() > 0:
+        ds3 = ds2.join(dom, join_type="left_anti", on=("doc_id",),
+                       num_partitions=n_parts)
+    else:
+        ds3 = ds2
+
+    # 4. decontamination (benchmark grams from the FULL table, broadcast)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(Path(sf_dir) / "documents.parquet",
+                      columns=["doc_id", "text"])
+    bench_texts = t.filter(
+        pc.less(t["doc_id"], DECONTAM_BENCH_MAX_ID)
+    )["text"].to_pylist()
+    grams = [H.gram_hash_array(H.tokens(x)) for x in bench_texts]
+    bench = np.unique(np.concatenate(grams)) if grams else np.empty(0, np.int64)
+    final = ds3.map_batches(
+        DecontaminateStage, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_args=(ray.put(bench),), concurrency=(1, 4),
+    )
+    return _collect_ids(final.select_columns(["doc_id"]), "doc_id")
+
+
 EMBED_NEARDUP_THRESHOLD = 0.999
 
 

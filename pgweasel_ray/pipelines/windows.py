@@ -109,7 +109,9 @@ def events_by_segment(sf_dir: str) -> Dataset:
     )
     joined = events.join(
         customers, join_type="inner",
-        num_partitions=max(2, int(ray.cluster_resources().get("CPU", 8))),
+        # cpus//4 like every keyed exchange here: 1-CPU join aggregators at
+        # n==cpus mostly pay spin-up at query-sized inputs
+        num_partitions=max(2, int(ray.cluster_resources().get("CPU", 8)) // 4),
         on=("user_id",), right_on=("c_custkey",),
     )
     return grouped_count(

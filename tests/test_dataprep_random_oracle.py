@@ -1,0 +1,119 @@
+"""Ray-vs-DuckDB parity on RANDOM corpora (not just the driver fixture):
+seeded generators produce documents tables with planted duplicate/near-dup
+structure, and every deterministic dataprep operator must match its oracle
+SQL on them — distribution-independent correctness evidence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pgweasel_ray.pipelines import dataprep
+from pgweasel_ray.testing import to_df
+
+VOCAB = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform victor "
+    "whiskey xray yankee zulu the and of to in is"
+).split()
+
+
+def _random_corpus(seed: int, n_docs: int = 60) -> list[str]:
+    rng = np.random.default_rng(seed)
+    texts = []
+    for i in range(n_docs):
+        n_words = int(rng.integers(0, 40))
+        words = [VOCAB[j] for j in rng.integers(0, len(VOCAB), n_words)]
+        texts.append(" ".join(words))
+    # plant exact dups and near dups
+    for _ in range(6):
+        a, b = rng.integers(0, n_docs, 2)
+        texts[b] = texts[a]
+    for _ in range(6):
+        a, b = rng.integers(0, n_docs, 2)
+        words = texts[a].split()
+        if len(words) > 5:
+            words[int(rng.integers(0, len(words)))] = "mutated"
+            texts[b] = " ".join(words)
+    return texts
+
+
+@pytest.fixture(scope="module", params=[11, 22, 33])
+def random_dir(request, tmp_path_factory):
+    texts = _random_corpus(request.param)
+    d = tmp_path_factory.mktemp(f"rand{request.param}")
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["r"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, d / "documents.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracle_con(random_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{random_dir}/documents.parquet')"
+    )
+    return con
+
+
+def _assert_matches_oracle(random_dir, oracle_con, name, fn):
+    from pgweasel_ray import oracle_queries
+
+    sql = {
+        "dedup_minhash": oracle_queries._dedup_minhash_sql,
+        "dedup_ngram_jaccard": oracle_queries._dedup_jaccard_sql,
+        "dedup_simhash": oracle_queries._dedup_simhash_sql,
+        "docs_lang_id": oracle_queries._lang_id_sql,
+        "docs_vocab_topk": oracle_queries._vocab_topk_sql,
+        "docs_decontaminate": oracle_queries._decontaminate_sql,
+        "docs_sample_hash": oracle_queries._sample_hash_sql,
+        "corpus_prep": oracle_queries._corpus_prep_sql,
+        "docs_length_quantiles": oracle_queries._length_quantiles_sql,
+    }[name]()
+    ray_df = to_df(fn(random_dir))
+    ora_df = oracle_con.sql(sql).df()
+    cols = sorted(ray_df.columns)
+    a = ray_df[cols].sort_values(cols).reset_index(drop=True)
+    b = ora_df[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.parametrize(
+    "name,fn",
+    [
+        ("dedup_minhash", dataprep.dedup_minhash),
+        ("dedup_ngram_jaccard", dataprep.dedup_ngram_jaccard),
+        ("dedup_simhash", dataprep.dedup_simhash),
+        ("docs_lang_id", dataprep.docs_lang_id),
+        ("docs_vocab_topk", dataprep.docs_vocab_topk),
+        ("docs_decontaminate", dataprep.docs_decontaminate),
+        ("docs_sample_hash", dataprep.docs_sample_hash),
+        ("corpus_prep", dataprep.corpus_prep),
+        ("docs_length_quantiles", dataprep.docs_length_quantiles),
+    ],
+)
+def test_random_corpus_matches_oracle(random_dir, oracle_con, name, fn):
+    _assert_matches_oracle(random_dir, oracle_con, name, fn)
+
+
+def test_random_fingerprint_matches_oracle(random_dir, oracle_con):
+    from pgweasel_ray import hashing as H
+
+    ray_df = to_df(dataprep.docs_fingerprint(random_dir)).set_index("doc_id")
+    ora = dict(oracle_con.sql(H.sql_fingerprint_select()).fetchall())
+    for doc_id, want in ora.items():
+        assert ray_df.loc[doc_id, "fingerprint"] == want
