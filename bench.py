@@ -110,6 +110,16 @@ def run_bench() -> dict:
             _consume(fn(SF_DIR))
             queries_e2e[name] = round(time.monotonic() - t, 3)
 
+        # dataprep headliners over the documents table at the same sf
+        from pgweasel_ray.pipelines import dataprep
+
+        for name, fn in (("dedup_minhash", dataprep.dedup_minhash),
+                         ("corpus_prep", dataprep.corpus_prep),
+                         ("docs_vocab_topk", dataprep.docs_vocab_topk)):
+            t = time.monotonic()
+            _consume(fn(SF_DIR))
+            queries_e2e[name] = round(time.monotonic() - t, 3)
+
     result = {
         "metric": "parse→route→aggregate throughput (turns/sec)",
         "value": round(flagship_sec, 3),

@@ -433,7 +433,10 @@ def sessions(sf_dir: str) -> Dataset:
     BASELINE.json); per-group work is bounded by conversation length, which
     is physically bounded for transcripts, so no salting is needed here —
     hot-key salting applies to the *aggregate* pipelines (see
-    pipelines.common)."""
+    pipelines.common). The keyed HASH exchange is kept for this QUERY even
+    though the router moved to write-then-compact: a query has no durable
+    sink to compact through, the transcript payload must cross once either
+    way, and at query sizes the exchange is a bounded ~1 s of the wall."""
     import ray
 
     from .common import hash_shuffle

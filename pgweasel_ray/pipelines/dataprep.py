@@ -68,6 +68,34 @@ def _embeddings(sf_dir: str, columns: list[str] | None = None) -> Dataset:
     )
 
 
+# Stateless-task stage dispatch with a per-WORKER-process instance cache
+# (the stages/enrich.py enrich_batch pattern, measured 2× vs actor pools
+# for cheap-init stages: no pool creation/scheduling, and map chains stay
+# fused). Broadcast args arrive as ray.put refs inside fn_kwargs; the first
+# task on each worker resolves them and builds the stage, later tasks
+# reuse it. Stages with genuinely expensive init (a model, a big index)
+# should stay actor pools — none of these qualify.
+_STAGE_CACHE: dict = {}
+
+
+def _cached_stage(cls, *args):
+    import ray
+
+    key = (cls.__name__,) + tuple(
+        r.hex() if isinstance(r, ray.ObjectRef) else repr(r) for r in args
+    )
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        if len(_STAGE_CACHE) > 16:
+            _STAGE_CACHE.clear()
+        stage = _STAGE_CACHE[key] = cls(*args)
+    return stage
+
+
+def _stage_batch(batch, _cls, _args=()):
+    return _cached_stage(_cls, *_args)(batch)
+
+
 # --- exact dedup -------------------------------------------------------------
 
 def _content_hash(batch: pa.Table) -> pa.Table:
@@ -255,8 +283,8 @@ class FingerprintStage:
 
 def docs_fingerprint(sf_dir: str) -> Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        FingerprintStage, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4),
+        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"_cls": FingerprintStage},
     )
 
 
@@ -391,8 +419,8 @@ def dedup_minhash_ds(sf_dir: str) -> Dataset:
     hash-partitioned on the bucket key, and dominated ids come from ONE
     vectorized pass per partition (no per-bucket Python dispatch)."""
     band_rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHashBandStage, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4),
+        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"_cls": MinHashBandStage},
     ).materialize()
     dups = _keyed_blocks(band_rows, ["band", "band_hash"], _dominated_block)
     return _survivors(sf_dir, dups)
@@ -526,8 +554,8 @@ def dedup_ngram_jaccard_ds(sf_dir: str) -> Dataset:
     The DuckDB oracle is the all-pairs definition itself — an independent
     check that the prefix filter loses nothing."""
     gram_sets = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        GramSetStage, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4),
+        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"_cls": GramSetStage},
     ).materialize()  # consumed three times below (prefix + two join sides)
 
     prefix = gram_sets.map_batches(
@@ -654,8 +682,8 @@ def _simhash_dom_block(batch: pa.Table) -> pa.Table:
 
 def dedup_simhash_ds(sf_dir: str) -> Dataset:
     band_rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        SimHashBandStage, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4),
+        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"_cls": SimHashBandStage},
     ).materialize()
     dom = _keyed_blocks(band_rows, ["band", "band_hash"],
                         _simhash_dom_block)
@@ -710,8 +738,8 @@ def ann_cosine_topk(sf_dir: str, k: int = 10) -> Dataset:
 
     q_ref = ray.put(_query_vector(sf_dir))
     sims = _embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(
-        CosineStage, batch_format="pyarrow", zero_copy_batch=True,
-        fn_constructor_args=(q_ref,), concurrency=(1, 4),
+        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"_cls": CosineStage, "_args": (q_ref,)},
     )
     top = sims.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
     return top.select_columns(["vec_id"])
@@ -752,16 +780,16 @@ def ann_lsh_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     q_bucket = int(stage.signature(q[None, :])[0])
     q_ref = ray.put(q)
     ds = _embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(
-        LshBucketStage, batch_format="pyarrow", zero_copy_batch=True,
-        fn_constructor_args=(len(q),), concurrency=(1, 4),
+        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"_cls": LshBucketStage, "_args": (len(q),)},
     )
     bucket = ds.map_batches(
         _filter_bucket, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"bucket": q_bucket},
     )
     sims = bucket.map_batches(
-        CosineStage, batch_format="pyarrow", zero_copy_batch=True,
-        fn_constructor_args=(q_ref,), concurrency=(1, 2),
+        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"_cls": CosineStage, "_args": (q_ref,)},
     )
     top = sims.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
     return top.select_columns(["vec_id"]).to_pandas()
@@ -856,16 +884,16 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, nlist: int = IVF_NLIST,
     probed = np.argsort(-(centroids @ qn))[:nprobe]
     c_ref, q_ref = ray.put(centroids), ray.put(q)
     ds = _embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(
-        IvfAssignStage, batch_format="pyarrow", zero_copy_batch=True,
-        fn_constructor_args=(c_ref,), concurrency=(1, 4),
+        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"_cls": IvfAssignStage, "_args": (c_ref,)},
     )
     probed_ds = ds.map_batches(
         _filter_ivf_lists, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"lists": sorted(int(x) for x in probed)},
     )
     sims = probed_ds.map_batches(
-        CosineStage, batch_format="pyarrow", zero_copy_batch=True,
-        fn_constructor_args=(q_ref,), concurrency=(1, 2),
+        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"_cls": CosineStage, "_args": (q_ref,)},
     )
     top = sims.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
     return top.select_columns(["vec_id"]).to_pandas()
@@ -973,8 +1001,8 @@ def docs_decontaminate(sf_dir: str) -> Dataset:
     bench = np.unique(np.concatenate(grams)) if grams else np.empty(0, np.int64)
     ref = ray.put(bench)
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        DecontaminateStage, batch_format="pyarrow", zero_copy_batch=True,
-        fn_constructor_args=(ref,), concurrency=(1, 4),
+        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"_cls": DecontaminateStage, "_args": (ref,)},
     )
 
 
@@ -1060,8 +1088,8 @@ def corpus_prep(sf_dir: str) -> pd.DataFrame:
 
     # 3. MinHash-LSH near-dedup within the exact-deduped set
     band_rows = ds2.map_batches(
-        MinHashBandStage, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4),
+        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"_cls": MinHashBandStage},
     ).materialize()
     dom = _keyed_blocks(band_rows, ["band", "band_hash"], _dominated_block)
     dom = dom.map_batches(
@@ -1085,8 +1113,8 @@ def corpus_prep(sf_dir: str) -> pd.DataFrame:
     grams = [H.gram_hash_array(H.tokens(x)) for x in bench_texts]
     bench = np.unique(np.concatenate(grams)) if grams else np.empty(0, np.int64)
     final = ds3.map_batches(
-        DecontaminateStage, batch_format="pyarrow", zero_copy_batch=True,
-        fn_constructor_args=(ray.put(bench),), concurrency=(1, 4),
+        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"_cls": DecontaminateStage, "_args": (ray.put(bench),)},
     )
     return _collect_ids(final.select_columns(["doc_id"]), "doc_id")
 
@@ -1101,8 +1129,8 @@ def embed_neardup(sf_dir: str,
     bucket-mate. Oracle: plane-literal buckets + list_cosine_similarity in
     DuckDB."""
     ds = _embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(
-        LshBucketStage, batch_format="pyarrow", zero_copy_batch=True,
-        fn_constructor_args=(_embedding_dim(sf_dir),), concurrency=(1, 4),
+        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"_cls": LshBucketStage, "_args": (_embedding_dim(sf_dir),)},
     )
     dom = ds.groupby("bucket").map_groups(
         _emit_cosine_dups, batch_format="pandas",
