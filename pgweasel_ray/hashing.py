@@ -217,6 +217,91 @@ def simhash62_batch(hs: np.ndarray) -> int:
     return int(((votes * 2 > len(hs)).astype(np.int64) << bits).sum())
 
 
+def _flatten_docs(docs_words: list[list[str]]):
+    """(flat word list, per-doc word counts, per-doc start offsets)."""
+    counts = np.array([len(w) for w in docs_words], dtype=np.int64)
+    flat = [w for doc in docs_words for w in doc]
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return flat, counts, starts
+
+
+def minhash_bands_docs(texts: list[str]) -> np.ndarray:
+    """(n_docs, MH_BANDS) band keys for a whole batch of documents in ONE
+    flat numpy pass — no per-document Python loop:
+
+    - tokenize + pad short docs, flatten all words, hash them with a single
+      word_hash_array call (codepoint-level reduceat);
+    - build every doc's shingle hashes from the flat word-hash arrays with
+      the polynomial concat identity, masking windows that cross doc
+      boundaries;
+    - signatures for ALL docs at once: (MH_NUM_PERM, n_grams) permuted
+      matrix reduced per doc with np.minimum.reduceat (grams are
+      doc-contiguous). ~64·8 bytes per gram of transient memory — ~60 MB
+      for a 1024-doc batch, sized for map_batches defaults.
+
+    Equals the per-doc [band_hashes(minhash_signature(gram_hashes(t)))]
+    path (asserted in tests)."""
+    if not texts:
+        return np.empty((0, MH_BANDS), dtype=np.int64)
+    docs_words = []
+    for t in texts:
+        w = tokens(t)
+        if len(w) < MH_SHINGLE:
+            w = w + [GRAM_PAD] * (MH_SHINGLE - len(w))
+        docs_words.append(w)
+    flat, counts, starts = _flatten_docs(docs_words)
+    hw = word_hash_array(flat)
+    lens = np.array([len(w) for w in flat], dtype=np.int64)
+    pw = _powers(B1, int(lens.max()) + 1)[lens]
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+
+    n = MH_SHINGLE
+    sep = ord(GRAM_SEP)
+    upto = len(flat) - n + 1
+    g = hw[:upto].copy()
+    for j in range(1, n):
+        hj = hw[j:upto + j]
+        pj = pw[j:upto + j]
+        g = (g * ((pj * B1) % P) + ((sep * pj) % P + hj)) % P
+    valid = doc_of[:upto] == doc_of[n - 1:]
+    g = g[valid]
+    gram_doc = doc_of[:upto][valid]
+    # every doc has >= 1 gram (padding), and grams are doc-contiguous
+    gram_starts = np.concatenate(
+        [[0], np.flatnonzero(gram_doc[1:] != gram_doc[:-1]) + 1]
+    )
+    perms = (MH_A[:, None] * g[None, :] + MH_B[:, None]) % P
+    sig = np.minimum.reduceat(perms, gram_starts, axis=1)  # (64, n_docs)
+    slots = sig.reshape(MH_BANDS, MH_ROWS, -1)
+    return ((((slots * MH_C[None, :, None]) % P).sum(axis=1)) % P).T
+
+
+def simhash62_docs(texts: list[str]) -> np.ndarray:
+    """(n_docs,) simhash62 for a whole batch in one flat pass: flat 62-bit
+    word hashes, bits unpacked via np.unpackbits on the little-endian byte
+    view, per-doc bit votes with np.add.reduceat. Empty docs → 0. Equals
+    the per-doc simhash62() path (asserted in tests)."""
+    n_docs = len(texts)
+    out = np.zeros(n_docs, dtype=np.int64)
+    docs_words = [tokens(t) for t in texts]
+    counts = np.array([len(w) for w in docs_words], dtype=np.int64)
+    nonempty = np.flatnonzero(counts > 0)
+    if len(nonempty) == 0:
+        return out
+    flat = [w for doc in docs_words for w in doc]
+    hw = (word_hash_array(flat, B1)
+          | (word_hash_array(flat, B2) << np.int64(31)))
+    bits = np.unpackbits(
+        hw.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )[:, :SH_BITS]
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nonempty]
+    votes = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+    sign = (votes * 2 > counts[nonempty, None]).astype(np.int64)
+    weights = np.int64(1) << np.arange(SH_BITS, dtype=np.int64)
+    out[nonempty] = (sign * weights[None, :]).sum(axis=1)
+    return out
+
+
 def prefix_length(m: int, num: int = JC_NUM, den: int = JC_DEN) -> int:
     """Jaccard prefix-filter length: m - ceil(t*m) + 1 (t = num/den).
 

@@ -294,31 +294,25 @@ class MinHashBandStage:
     """doc → (band, band_hash, doc_id) rows.
 
     Signature: MH_NUM_PERM universal-hash permutations over word-shingle
-    poly-hashes (hashing.gram_hash_array — flat-codepoint vectorized);
-    band keys mix MH_ROWS signature slots. Identical rows are produced by
+    poly-hashes; band keys mix MH_ROWS signature slots. The whole batch is
+    computed in ONE flat numpy pass (hashing.minhash_bands_docs — no
+    per-document Python loop). Identical rows are produced by
     hashing.sql_minhash_bands_cte for the oracle."""
 
-    def __init__(self):
-        self.a = H.MH_A[:, None]
-        self.b = H.MH_B[:, None]
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         texts = batch["text"].to_pylist()
-        out_band = np.tile(np.arange(H.MH_BANDS, dtype=np.int32),
-                           len(doc_ids))
-        out_hash = np.empty(len(doc_ids) * H.MH_BANDS, dtype=np.int64)
-        for i, text in enumerate(texts):
-            hs = H.gram_hash_array(H.tokens(text))
-            sig = ((self.a * hs[None, :] + self.b) % H.P).min(axis=1)
-            out_hash[i * H.MH_BANDS:(i + 1) * H.MH_BANDS] = H.band_hashes(sig)
+        bands = H.minhash_bands_docs(texts)  # (n_docs, MH_BANDS)
         return pa.table(
             {
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_hash, type=pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(H.MH_BANDS, dtype=np.int32),
+                            len(texts)),
+                    type=pa.int32(),
+                ),
+                "band_hash": pa.array(bands.reshape(-1), type=pa.int64()),
                 "doc_id": pa.array(
-                    np.repeat(np.asarray(doc_ids, dtype=np.int64),
-                              H.MH_BANDS),
+                    np.repeat(doc_ids.astype(np.int64), H.MH_BANDS),
                     type=pa.int64(),
                 ),
             }
@@ -386,6 +380,17 @@ def _survivors(sf_dir: str, dups: Dataset, id_col: str = "doc_id") -> Dataset:
     n_dups = dups.count()
     if n_dups == 0:
         return all_ids
+    if n_dups <= BROADCAST_ANTI_MAX:
+        # small dominated set: broadcast it and filter in-place — no join
+        # operator, no shuffle of the id stream (ray.put once, read per
+        # worker); the hash join below remains the unbounded-size path
+        import ray
+
+        ref = ray.put(np.sort(dups.to_pandas()[id_col].to_numpy()))
+        return all_ids.map_batches(
+            _anti_filter, batch_format="pyarrow", zero_copy_batch=True,
+            fn_kwargs={"id_col": id_col, "dom_ref": ref},
+        )
     # empty right-side partitions break key resolution in Ray's hash
     # join, so partitions scale with the dup count (at 10^12-doc scale
     # every partition is dense and this is simply n_cpus-sized)
@@ -394,6 +399,21 @@ def _survivors(sf_dir: str, dups: Dataset, id_col: str = "doc_id") -> Dataset:
         num_partitions=max(1, min(8, n_dups // 8)),
         on=(id_col,),
     )
+
+
+BROADCAST_ANTI_MAX = 1_000_000  # dominated ids broadcast below this size
+
+
+def _anti_filter(batch: pa.Table, id_col: str, dom_ref) -> pa.Table:
+    import ray
+
+    dom = ray.get(dom_ref) if isinstance(dom_ref, ray.ObjectRef) else dom_ref
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    if len(dom) == 0:
+        return batch
+    idx = np.searchsorted(dom, ids)
+    idx[idx == len(dom)] = 0
+    return batch.filter(pa.array(dom[idx] != ids))
 
 
 def _collect_ids(ds: Dataset, id_col: str) -> pd.DataFrame:
@@ -602,25 +622,15 @@ def dedup_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
 # --- SimHash near-dup --------------------------------------------------------
 
 class SimHashBandStage:
-    """62-bit SimHash (hashing.simhash62: two 31-bit poly word-hashes
-    concatenated, per-bit majority vote); emits SH_BANDS 16-bit band keys
-    for blocking. Oracle twin: hashing.sql_simhash_cte."""
-
-    def __init__(self):
-        self.bits = np.arange(H.SH_BITS, dtype=np.int64)
+    """62-bit SimHash (hashing.simhash62_docs: two 31-bit poly word-hashes
+    concatenated, per-bit majority vote — one flat numpy pass per batch);
+    emits SH_BANDS 16-bit band keys for blocking. Oracle twin:
+    hashing.sql_simhash_cte."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        sims = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            words = H.tokens(t)
-            if not words:
-                sims[i] = 0
-                continue
-            hs = (H.word_hash_array(words, H.B1)
-                  | (H.word_hash_array(words, H.B2) << np.int64(31)))
-            sims[i] = H.simhash62_batch(hs)
+        sims = H.simhash62_docs(texts)  # one flat pass, no per-doc loop
         n = len(doc_ids)
         bands = np.tile(np.arange(H.SH_BANDS, dtype=np.int32), n)
         shifts = np.tile(
