@@ -225,6 +225,82 @@ def _flatten_docs(docs_words: list[list[str]]):
     return flat, counts, starts
 
 
+def gram_hash_flat(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(flat shingle hashes, owning doc index) for a whole batch in one
+    flat pass: pad short docs, hash every word once (codepoint reduceat),
+    combine shingles with the polynomial concat identity, mask windows that
+    cross doc boundaries. Every doc contributes >= 1 shingle (padding), and
+    shingles are doc-contiguous in the output."""
+    if not texts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    docs_words = []
+    for t in texts:
+        w = tokens(t)
+        if len(w) < MH_SHINGLE:
+            w = w + [GRAM_PAD] * (MH_SHINGLE - len(w))
+        docs_words.append(w)
+    flat, counts, _ = _flatten_docs(docs_words)
+    hw = word_hash_array(flat)
+    lens = np.array([len(w) for w in flat], dtype=np.int64)
+    pw = _powers(B1, int(lens.max()) + 1)[lens]
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+
+    n = MH_SHINGLE
+    sep = ord(GRAM_SEP)
+    upto = len(flat) - n + 1
+    g = hw[:upto].copy()
+    for j in range(1, n):
+        hj = hw[j:upto + j]
+        pj = pw[j:upto + j]
+        g = (g * ((pj * B1) % P) + ((sep * pj) % P + hj)) % P
+    valid = doc_of[:upto] == doc_of[n - 1:]
+    return g[valid], doc_of[:upto][valid]
+
+
+def gram_sets_docs(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc SORTED-UNIQUE shingle-hash sets for a whole batch, as
+    (values, int32 list offsets of len n_docs+1) — ready for
+    pa.ListArray.from_arrays. One lexsort + mask instead of a per-doc
+    np.unique loop."""
+    g, gram_doc = gram_hash_flat(texts)
+    order = np.lexsort((g, gram_doc))
+    gs, gd = g[order], gram_doc[order]
+    keep = np.r_[True, (gs[1:] != gs[:-1]) | (gd[1:] != gd[:-1])]
+    values, vd = gs[keep], gd[keep]
+    counts = np.bincount(vd, minlength=len(texts))
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return values, offsets
+
+
+def fingerprint_docs(texts: list[str]) -> np.ndarray:
+    """(n_docs,) fingerprints for a whole batch in one flat pass: concat
+    every doc's (padded) codepoints, one sliding-window polynomial over the
+    flat array with cross-doc windows masked, per-doc min via
+    np.minimum.reduceat. Equals [fingerprint(t) for t in texts]."""
+    if not texts:
+        return np.empty(0, dtype=np.int64)
+    codes_per_doc = []
+    for t in texts:
+        c = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        if len(c) < FP_K:
+            c = np.pad(c, (0, FP_K - len(c)), constant_values=1)
+        codes_per_doc.append(c)
+    counts = np.array([len(c) for c in codes_per_doc], dtype=np.int64)
+    flat = np.concatenate(codes_per_doc)
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    win = np.lib.stride_tricks.sliding_window_view(flat, FP_K)
+    h = ((win * FP_POWERS[None, :]) % P).sum(axis=1) % P
+    valid = doc_of[:len(h)] == doc_of[FP_K - 1:]
+    h = h[valid]
+    win_doc = doc_of[:len(valid)][valid]
+    starts = np.concatenate(
+        [[0], np.flatnonzero(win_doc[1:] != win_doc[:-1]) + 1]
+    )
+    return np.minimum.reduceat(h, starts)
+
+
 def minhash_bands_docs(texts: list[str]) -> np.ndarray:
     """(n_docs, MH_BANDS) band keys for a whole batch of documents in ONE
     flat numpy pass — no per-document Python loop:
@@ -243,29 +319,7 @@ def minhash_bands_docs(texts: list[str]) -> np.ndarray:
     path (asserted in tests)."""
     if not texts:
         return np.empty((0, MH_BANDS), dtype=np.int64)
-    docs_words = []
-    for t in texts:
-        w = tokens(t)
-        if len(w) < MH_SHINGLE:
-            w = w + [GRAM_PAD] * (MH_SHINGLE - len(w))
-        docs_words.append(w)
-    flat, counts, starts = _flatten_docs(docs_words)
-    hw = word_hash_array(flat)
-    lens = np.array([len(w) for w in flat], dtype=np.int64)
-    pw = _powers(B1, int(lens.max()) + 1)[lens]
-    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
-
-    n = MH_SHINGLE
-    sep = ord(GRAM_SEP)
-    upto = len(flat) - n + 1
-    g = hw[:upto].copy()
-    for j in range(1, n):
-        hj = hw[j:upto + j]
-        pj = pw[j:upto + j]
-        g = (g * ((pj * B1) % P) + ((sep * pj) % P + hj)) % P
-    valid = doc_of[:upto] == doc_of[n - 1:]
-    g = g[valid]
-    gram_doc = doc_of[:upto][valid]
+    g, gram_doc = gram_hash_flat(texts)
     # every doc has >= 1 gram (padding), and grams are doc-contiguous
     gram_starts = np.concatenate(
         [[0], np.flatnonzero(gram_doc[1:] != gram_doc[:-1]) + 1]

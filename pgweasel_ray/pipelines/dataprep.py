@@ -254,25 +254,12 @@ def docs_lang_id(sf_dir: str) -> Dataset:
 
 class FingerprintStage:
     """Winnowing-style fingerprint: min of k-gram rolling hashes over the
-    codepoint sequence — :func:`pgweasel_ray.hashing.fingerprint`, mod-prime
-    arithmetic with an exact DuckDB twin (sql_fingerprint_select)."""
-
-    def __init__(self):
-        self.powers = H.FP_POWERS
+    codepoint sequence — :func:`pgweasel_ray.hashing.fingerprint_docs`,
+    one flat numpy pass per batch, mod-prime arithmetic with an exact
+    DuckDB twin (sql_fingerprint_select)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            codes = np.frombuffer(
-                t.encode("utf-32-le"), dtype=np.uint32
-            ).astype(np.int64)
-            if len(codes) < H.FP_K:
-                codes = np.pad(codes, (0, H.FP_K - len(codes)),
-                               constant_values=1)
-            win = np.lib.stride_tricks.sliding_window_view(codes, H.FP_K)
-            out[i] = (((win * self.powers[None, :]) % H.P).sum(axis=1)
-                      % H.P).min()
+        out = H.fingerprint_docs(batch["text"].to_pylist())
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -456,18 +443,22 @@ class GramSetStage:
     """doc → (doc_id, grams=list<int64> sorted distinct shingle hashes, m).
 
     The sorted-distinct hash list is both the verification payload and the
-    global prefix order (hash value ascending)."""
+    global prefix order (hash value ascending). One flat pass per batch
+    (hashing.gram_sets_docs: lexsort + mask, no per-doc np.unique loop);
+    the list column is built zero-copy from (values, offsets)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"]
-        texts = batch["text"].to_pylist()
-        grams = [np.unique(H.gram_hash_array(H.tokens(t))) for t in texts]
+        values, offsets = H.gram_sets_docs(batch["text"].to_pylist())
+        grams = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(values, type=pa.int64()),
+        )
+        m = (offsets[1:] - offsets[:-1]).astype(np.int64)
         return pa.table(
             {
-                "doc_id": doc_ids,
-                "grams": pa.array([g.tolist() for g in grams],
-                                  type=pa.list_(pa.int64())),
-                "m": pa.array([len(g) for g in grams], type=pa.int64()),
+                "doc_id": batch["doc_id"],
+                "grams": grams,
+                "m": pa.array(m, type=pa.int64()),
             }
         )
 
@@ -983,15 +974,19 @@ class DecontaminateStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         texts = batch["text"].to_pylist()
-        keep = np.zeros(len(ids), dtype=bool)
-        for i, t in enumerate(texts):
-            if ids[i] < DECONTAM_BENCH_MAX_ID:
-                continue  # benchmark members never enter the corpus
-            hs = H.gram_hash_array(H.tokens(t))
-            idx = np.searchsorted(self.bench, hs)
-            idx[idx == len(self.bench)] = 0
-            keep[i] = not np.any(self.bench[idx] == hs) if len(self.bench) \
-                else True
+        n = len(ids)
+        if len(self.bench) == 0:
+            keep = ids >= DECONTAM_BENCH_MAX_ID
+            return pa.table({"doc_id": pa.array(ids[keep], type=pa.int64())})
+        # one flat membership test for the whole batch: every shingle of
+        # every doc searchsorted against the benchmark set, hit docs found
+        # via bincount over the owning-doc index
+        g, gram_doc = H.gram_hash_flat(texts)
+        idx = np.searchsorted(self.bench, g)
+        idx[idx == len(self.bench)] = 0
+        hits = self.bench[idx] == g
+        contaminated = np.bincount(gram_doc[hits], minlength=n) > 0
+        keep = (ids >= DECONTAM_BENCH_MAX_ID) & ~contaminated
         return pa.table({"doc_id": pa.array(ids[keep], type=pa.int64())})
 
 

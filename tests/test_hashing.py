@@ -53,6 +53,21 @@ def test_vectorized_gram_hashes_match_scalar():
         ]
 
 
+def test_batch_doc_kernels_match_scalar():
+    got_mh = H.minhash_bands_docs(TEXTS)
+    got_sh = H.simhash62_docs(TEXTS)
+    got_fp = H.fingerprint_docs(TEXTS)
+    values, offsets = H.gram_sets_docs(TEXTS)
+    for i, t in enumerate(TEXTS):
+        assert got_mh[i].tolist() == H.band_hashes(
+            H.minhash_signature(H.gram_hashes(t))
+        ).tolist()
+        assert got_sh[i] == H.simhash62(H.tokens(t))
+        assert got_fp[i] == H.fingerprint(t)
+        want = np.unique(H.gram_hash_array(H.tokens(t)))
+        assert values[offsets[i]:offsets[i + 1]].tolist() == want.tolist()
+
+
 def test_sql_poly_hash_matches_python(con):
     got = [
         r[0]
