@@ -65,7 +65,8 @@ def run_bench() -> dict:
     # cluster job sits in.
     out_dir = f"/dev/shm/pgweasel_ray_bench/routed-{NCPU}"
     walls = []
-    for i in range(3):
+    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
+    for i in range(n_runs):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.monotonic()
         manifest = router.route(SF_DIR, out_dir=out_dir, num_shards=1)
@@ -138,8 +139,12 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
+        # 4 warm runs per level: the sandbox's co-tenant load swings single
+        # runs ±50% (loadavg spikes to ~9 observed); min-of-warm over more
+        # runs recovers the machine's actual capability at each level
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_SF_DIR=SCALING_SF_DIR, BENCH_SKIP_QUERIES="1")
+                   GRAFT_SF_DIR=SCALING_SF_DIR, BENCH_SKIP_QUERIES="1",
+                   BENCH_RUNS=os.environ.get("BENCH_SCALING_RUNS", "5"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
