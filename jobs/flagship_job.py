@@ -33,6 +33,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="hot-key salt for the (severity, tool) repartition")
     p.add_argument("--exchange", choices=("compact", "hash"),
                    default="compact")
+    p.add_argument("--shard-by", choices=("index", "file"), default="index",
+                   dest="shard_by")
     args = p.parse_args(argv)
 
     import ray
@@ -53,7 +55,7 @@ def main(argv: list[str] | None = None) -> int:
     manifest = router.route(args.input, out_dir=args.out,
                             num_shards=args.shards,
                             enrich=not args.no_enrich, salt=args.salt,
-                            exchange=args.exchange)
+                            exchange=args.exchange, shard_by=args.shard_by)
     wall = time.monotonic() - t0
     print(json.dumps({
         "rows": manifest.total_rows(),

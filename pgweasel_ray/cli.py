@@ -199,6 +199,11 @@ def build_parser() -> argparse.ArgumentParser:
                        default="compact",
                        help="partition exchange: write-then-compact "
                             "(map-only, default) or keyed hash shuffle")
+    route.add_argument("--shard-by", choices=("index", "file"),
+                       default="index", dest="shard_by",
+                       help="'file' = one shard per input file keyed by "
+                            "name (incremental ingest: reruns build only "
+                            "newly arrived files)")
     return p
 
 
@@ -343,7 +348,8 @@ def main(argv: list[str] | None = None) -> int:
 
     elif args.command == "route":
         manifest = router.route(inp, out_dir=args.out, num_shards=args.shards,
-                                salt=args.salt, exchange=args.exchange)
+                                salt=args.salt, exchange=args.exchange,
+                                shard_by=args.shard_by)
         print(f"routed {manifest.total_rows()} turns into "
               f"{len(manifest.entries)} shards under {args.out}")
 

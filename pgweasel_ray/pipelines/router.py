@@ -32,7 +32,7 @@ import pyarrow.dataset as pads
 
 from . import common
 from ..sources import lookups
-from ..sources.transcripts import ensure_fixture, fixture_dir
+from ..sources.transcripts import fixture_dir
 from ..stages.enrich import enrich_batch
 from ..stages.parse import parse_batch
 from ..state.manifest import Manifest
@@ -44,7 +44,24 @@ ROUTED_SCHEMA_GROUPS = ("severity", "duration")
 
 
 def _input_files(sf_dir: str) -> list[str]:
-    root = ensure_fixture(sf_dir)
+    """Input resolution mirrors read_transcripts: a REAL transcripts
+    parquet dir/file is routed as-is; raw pgweasel logs are ingested to
+    parquet first (the router's unit of work is a parquet file); only
+    sf-fixture names fall through to the deterministic fixture."""
+    from ..sources.transcripts import resolve_input
+
+    root = resolve_input(sf_dir)
+    if root is None:  # raw log input: materialize the transcript schema
+        import tempfile
+
+        from ..sources.rawlog import ingest_to_transcripts
+
+        root = Path(
+            ingest_to_transcripts(
+                str(sf_dir), tempfile.mkdtemp(prefix="pgweasel_ray_route_")
+            )
+        )
+    root = Path(root)
     if root.is_dir():
         return sorted(str(p) for p in root.glob("*.parquet"))
     return [str(root)]
@@ -55,6 +72,15 @@ def _shards(files: list[str], num_shards: int) -> list[list[str]]:
     return [files[i::num_shards] for i in range(num_shards)]
 
 
+def _file_shards(files: list[str]) -> list[tuple[str, list[str]]]:
+    """(shard key, files) with the key derived from the FILE NAME, not its
+    position — the incremental-ingest unit: new files appearing later get
+    new shard keys, existing keys keep their exact file association, so
+    resume skips everything already committed regardless of arrival
+    order."""
+    return [(f"shard={Path(f).stem}", [f]) for f in files]
+
+
 def route(
     sf_dir: str,
     out_dir: str | Path | None = None,
@@ -62,6 +88,7 @@ def route(
     enrich: bool = True,
     salt: int | None = None,
     exchange: str = "compact",
+    shard_by: str = "index",
 ) -> Manifest:
     """Run (or resume) the routed sink for ``sf_dir``; returns the manifest.
 
@@ -82,7 +109,14 @@ def route(
       machinery; ``salt=S`` splits hot partitions across S aggregators.
 
     Both yield the identical hive layout and per-partition (conv_id,
-    turn_idx) order (asserted equal in test_router)."""
+    turn_idx) order (asserted equal in test_router).
+
+    ``shard_by``: ``"index"`` (default) groups files round-robin into
+    ``num_shards`` fixed shards — right for a one-shot bulk job.
+    ``"file"`` makes every input file its own shard KEYED BY FILE NAME, so
+    a rerun after new log files arrive builds ONLY the new shards
+    (incremental ingest; the committed shards' file association is stable
+    under any arrival order)."""
     import ray
 
     out_root = Path(out_dir) if out_dir else fixture_dir(sf_dir) / "routed"
@@ -93,8 +127,16 @@ def route(
         role_ref = ray.put(lookups.load_map(sf_dir, "role_tenant"))
         tool_ref = ray.put(lookups.load_map(sf_dir, "tool_subsystem"))
 
-    for i, shard_files in enumerate(_shards(_input_files(sf_dir), num_shards)):
-        key = f"shard={i}"
+    files = _input_files(sf_dir)
+    if shard_by == "file":
+        sharding = _file_shards(files)
+    else:
+        sharding = [
+            (f"shard={i}", sf)
+            for i, sf in enumerate(_shards(files, num_shards))
+        ]
+
+    for key, shard_files in sharding:
         shard_dir = out_root / key
         if manifest.is_done(key, shard_dir):
             continue

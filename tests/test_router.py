@@ -123,6 +123,42 @@ def test_crashed_compact_run_resumes_clean(routed, sf_dir, tmp_path):
     assert m.total_rows() == ref_manifest.total_rows()
 
 
+def test_route_real_dir_and_incremental_by_file(sf_dir, tmp_path):
+    """(a) A REAL transcripts parquet dir routes its own bytes (not the
+    name-keyed synthetic fixture); (b) shard_by='file' is incremental: a
+    new file arriving later builds ONLY its own shard."""
+    import shutil as sh
+
+    import pyarrow.parquet as pq
+
+    from pgweasel_ray.sources.transcripts import transcripts_path
+
+    src = sorted(transcripts_path(sf_dir).glob("*.parquet"))
+    assert len(src) >= 3
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    for f in src[:2]:
+        sh.copy(f, inp / f.name)
+
+    out = tmp_path / "routed"
+    m1 = router.route(str(inp), out_dir=out, shard_by="file")
+    keys1 = set(m1.entries)
+    assert keys1 == {f"shard={f.stem}" for f in src[:2]}
+    rows_first_two = sum(pq.read_metadata(f).num_rows for f in src[:2])
+    assert m1.total_rows() == rows_first_two  # real bytes, not a fixture
+
+    done_mtime = {
+        k: (out / k).stat().st_mtime_ns for k in keys1
+    }
+    sh.copy(src[2], inp / src[2].name)  # a new log file arrives
+    m2 = router.route(str(inp), out_dir=out, shard_by="file")
+    assert set(m2.entries) == keys1 | {f"shard={src[2].stem}"}
+    # only the new shard was built; committed shards untouched
+    for k in keys1:
+        assert (out / k).stat().st_mtime_ns == done_mtime[k]
+    assert m2.total_rows() == rows_first_two + pq.read_metadata(src[2]).num_rows
+
+
 def test_routed_readback_row_texts(routed, sf_dir):
     """Set equality of routed rows vs input — the routed-row invariant."""
     _, out, _ = routed
