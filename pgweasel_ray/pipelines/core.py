@@ -518,10 +518,41 @@ def conv_first_error(sf_dir: str) -> Dataset:
 
 
 def sessions_top_errors(sf_dir: str, k: int = 10) -> Dataset:
-    """Top-k conversations by error count (session reconstruction feeding a
-    distributed top-k; ties broken by conv_id)."""
-    s = sessions(sf_dir).select_columns(["conv_id", "n_turns", "n_errors"])
-    return s.sort(["n_errors", "conv_id"], descending=[True, False]).limit(k)
+    """Top-k conversations by error count (ties broken by conv_id).
+
+    Does NOT reconstruct transcripts: only (n_turns, n_errors) per conv are
+    needed, so the shuffle moves per-block (conv_id, partial counts) rows —
+    the two-phase aggregation pattern — instead of the full text."""
+    from ray.data.aggregate import Sum
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "text"])
+    parsed = ds.map_batches(
+        parse_filter_project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(groups=("severity",),
+                       keep=("conv_id", "severity_rank")),
+    )
+    partials = parsed.map_batches(
+        _session_count_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = partials.groupby("conv_id").aggregate(
+        Sum("n_turns", alias_name="n_turns"),
+        Sum("n_errors", alias_name="n_errors"),
+    )
+    return counts.sort(["n_errors", "conv_id"],
+                       descending=[True, False]).limit(k)
+
+
+def _session_count_partial(batch: pa.Table) -> pa.Table:
+    err = pc.cast(
+        pc.greater_equal(batch["severity_rank"], ERROR_RANK), pa.int64()
+    )
+    t = pa.table({"conv_id": batch["conv_id"], "n_errors": err})
+    agg = t.group_by(["conv_id"]).aggregate(
+        [("n_errors", "sum"), ([], "count_all")]
+    )
+    return agg.rename_columns(["conv_id", "n_errors", "n_turns"])
 
 
 # --- enrich (new per north_star) --------------------------------------------
