@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_range": events.events_value_range,
         "events_props_k_sum": events.events_props_k_sum,
         # windows / joins / reference-stub commands made real
+        "events_sliding_avg": windows.events_sliding_avg,
         "events_user_sessions": windows.events_user_sessions,
         "events_by_segment": windows.events_by_segment,
         "flagged_conv_turns": windows.flagged_conv_turns,

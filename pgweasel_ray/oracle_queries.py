@@ -356,6 +356,15 @@ FROM x GROUP BY user_id""",
 SELECT c.c_mktsegment, count(*) AS cnt
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1""",
+        "events_sliding_avg": f"""
+WITH h AS (
+  SELECT {eh} AS bucket_ts, count(*) AS cnt FROM events
+  GROUP BY bucket_ts
+)
+SELECT bucket_ts, cnt,
+       avg(cnt) OVER (ORDER BY bucket_ts
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg_cnt
+FROM h ORDER BY bucket_ts""",
         "flagged_conv_turns": f"""{cte}
 SELECT conv_id, count(*) AS cnt FROM parsed
 WHERE conv_id IN (SELECT DISTINCT conv_id FROM parsed

@@ -89,6 +89,47 @@ def events_user_sessions(sf_dir: str) -> Dataset:
         )
 
 
+SLIDE_WINDOW_BUCKETS = 3  # trailing window width (current + 2 preceding)
+
+
+def events_sliding_avg(sf_dir: str) -> Dataset:
+    """Sliding-window aggregate: hourly event counts smoothed with a
+    trailing 3-bucket mean (ROWS 2 PRECEDING window frame).
+
+    Shape: the heavy part — counting events per bucket — is the
+    distributed pre-aggregated groupby; the window pass then runs over the
+    POST-AGGREGATE series, which is tiny at any input scale (one row per
+    hour: years of data ≈ 10^5 rows), so it executes as one
+    ``repartition(1)`` block with a vectorized pandas rolling mean. The
+    brief's streaming-window class, restated for a batch table."""
+    ds = _events(sf_dir, ["ts"])
+    bucketed = ds.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"width_s": 3600},
+    ).select_columns(["bucket_ts"])
+    counts = grouped_count(bucketed, ["bucket_ts"]).sort("bucket_ts")
+    series = counts.repartition(1)
+    return series.map_batches(
+        _sliding_avg_block, batch_format="pandas", batch_size=None
+    )
+
+
+def _sliding_avg_block(df: pd.DataFrame) -> pd.DataFrame:
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "bucket_ts": pd.Series([], dtype="datetime64[ns]"),
+                "cnt": pd.Series([], dtype="int64"),
+                "avg_cnt": pd.Series([], dtype="float64"),
+            }
+        )
+    df = df.sort_values("bucket_ts").reset_index(drop=True)
+    df["avg_cnt"] = (
+        df["cnt"].rolling(SLIDE_WINDOW_BUCKETS, min_periods=1).mean()
+    )
+    return df[["bucket_ts", "cnt", "avg_cnt"]]
+
+
 # --- hash join against a dimension table -------------------------------------
 
 def events_by_segment(sf_dir: str) -> Dataset:
