@@ -139,17 +139,20 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        # 4 warm runs per level: the sandbox's co-tenant load swings single
-        # runs ±50% (loadavg spikes to ~9 observed); min-of-warm over more
-        # runs recovers the machine's actual capability at each level
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_SF_DIR=SCALING_SF_DIR, BENCH_SKIP_QUERIES="1",
-                   BENCH_RUNS=os.environ.get("BENCH_SCALING_RUNS", "5"))
+                   BENCH_RUNS=os.environ.get("BENCH_SCALING_RUNS", "4"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    # The sandbox's co-tenant load swings single runs ±50% (loadavg spikes
+    # to ~9 observed vs ~2 typical). Each level takes min-of-warm WITHIN a
+    # process (BENCH_RUNS) and the levels are INTERLEAVED across processes
+    # (2,8,2,8) so a load spike during one phase cannot tank only one side
+    # of the ratio.
 
     # generate/cache the fixture and warm the page cache before timing
     from pgweasel_ray.sources.transcripts import ensure_fixture, transcripts_path
@@ -165,7 +168,13 @@ def run_scaling() -> dict:
     # with the cores. Full 2/4/8/16/32 curve + the multiprocessing
     # hardware-floor experiment: BASELINE.md.
     n_lo, n_hi = 2, 8
-    lo, hi = run(n_lo), run(n_hi)
+    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
+    lo_runs, hi_runs = [], []
+    for _ in range(rounds):  # interleave the levels (see best_of)
+        lo_runs.append(run(n_lo))
+        hi_runs.append(run(n_hi))
+    lo = min(lo_runs, key=lambda r: r["value"])
+    hi = min(hi_runs, key=lambda r: r["value"])
     tp_lo, tp_hi = lo["turns_per_sec"], hi["turns_per_sec"]
     eff = (tp_hi / tp_lo) / (n_hi / n_lo)
     return {
