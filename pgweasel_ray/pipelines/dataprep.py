@@ -2,9 +2,13 @@
 
 These go beyond the reference (which is scan-filter-aggregate only — SURVEY
 §2.4) and cover what a large-scale corpus pipeline needs: exact and near
-deduplication, similarity search, and text analysis. All are Ray-Data-first:
-a vectorized/actor-pool ``map_batches`` per-doc stage, then pre-aggregated
-``groupby`` for anything that must see groups.
+deduplication, similarity search, text analysis, and corpus construction
+(sampling / vocabulary / decontamination / quantiles / the composed
+corpus_prep recipe). All are Ray-Data-first: flat-batch numpy kernels
+(hashing.py — zero per-document Python loops) inside stateless
+``map_batches`` tasks with per-worker instance caches, keyed-repartition
+block kernels where buckets must be co-located, and pre-aggregated
+``groupby`` everywhere else.
 
 Every hash primitive lives in :mod:`pgweasel_ray.hashing` with an SQL twin,
 so each operator here (including MinHash/SimHash/fingerprint/ANN) is
