@@ -143,6 +143,28 @@ def test_prefix_length_guarantee_brute_force():
             assert len(shared) > 0, (a, b)
 
 
+def test_minhash_signature_estimates_jaccard():
+    """The statistical property that MAKES it MinHash (independent of the
+    SQL-parity checks): the fraction of agreeing signature slots is an
+    unbiased estimator of the true shingle-set Jaccard similarity."""
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(400)]
+    base = [vocab[i] for i in rng.integers(0, len(vocab), 120)]
+    for replace_frac in (0.0, 0.1, 0.3, 0.6):
+        other = list(base)
+        k = int(len(base) * replace_frac)
+        for pos in rng.choice(len(base), size=k, replace=False):
+            other[pos] = f"x{pos}"
+        a, b = " ".join(base), " ".join(other)
+        ga = set(H.gram_hashes(a).tolist())
+        gb = set(H.gram_hashes(b).tolist())
+        true_j = len(ga & gb) / len(ga | gb)
+        sig_a = H.minhash_signature(H.gram_hashes(a))
+        sig_b = H.minhash_signature(H.gram_hashes(b))
+        est = float((sig_a == sig_b).mean())
+        assert abs(est - true_j) < 0.17, (replace_frac, true_j, est)
+
+
 def test_fingerprint_properties():
     assert H.fingerprint("abc") == H.fingerprint("abc")
     assert H.fingerprint("") == H.fingerprint("")  # all-pad window
