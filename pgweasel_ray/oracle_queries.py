@@ -132,6 +132,15 @@ WHERE o.r = (q.pct * (c.cnt - 1)) // 100
 ORDER BY pct"""
 
 
+def _scrub_sql() -> str:
+    """Nested regexp_replace chain generated from dataprep.SCRUB_RULES (the
+    parity source), innermost = first rule, 'g' for replace-all."""
+    expr = "text"
+    for pattern, token in dataprep.SCRUB_RULES:
+        expr = f"regexp_replace({expr}, '{pattern}', '{token}', 'g')"
+    return f"SELECT doc_id, {expr} AS text_scrubbed FROM documents"
+
+
 def _corpus_prep_sql() -> str:
     """The composed recipe (quality → exact dedup → MinHash dedup →
     decontaminate), each stage over the previous stage's survivors —
@@ -422,6 +431,7 @@ LIMIT 10""",
         "docs_lang_id": _lang_id_sql(),
         "docs_fingerprint": H.sql_fingerprint_select(),
         "corpus_prep": _corpus_prep_sql(),
+        "docs_scrub": _scrub_sql(),
         "docs_sample_hash": _sample_hash_sql(),
         "docs_vocab_topk": _vocab_topk_sql(),
         "docs_decontaminate": _decontaminate_sql(),

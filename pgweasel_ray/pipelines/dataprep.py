@@ -1044,6 +1044,38 @@ def docs_length_quantiles(sf_dir: str,
     return pd.DataFrame(out, columns=["pct", "n_tokens"])
 
 
+# --- PII / URL scrubbing ------------------------------------------------------
+
+# applied IN ORDER (URLs first so their embedded user@host parts never
+# half-match the email pattern); RE2 on both sides — the oracle SQL is
+# generated from this same table
+SCRUB_RULES: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def _scrub(batch: pa.Table) -> pa.Table:
+    text = batch["text"]
+    for pattern, token in SCRUB_RULES:
+        text = pc.replace_substring_regex(
+            text, pattern=pattern, replacement=token
+        )
+    return pa.table({"doc_id": batch["doc_id"], "text_scrubbed": text})
+
+
+def docs_scrub(sf_dir: str) -> Dataset:
+    """PII/URL scrubbing — the redaction pass every training-data pipeline
+    runs before tokenization: URLs, email addresses and IPv4 literals
+    replaced with placeholder tokens, in rule order, via vectorized RE2
+    rewrites (no row loop). Oracle: the same SCRUB_RULES chain as nested
+    ``regexp_replace(..., 'g')``."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _scrub, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # --- the composed corpus-prep recipe -----------------------------------------
 
 def _quality_keep_rows(batch: pa.Table) -> pa.Table:

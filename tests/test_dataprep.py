@@ -219,6 +219,31 @@ def test_length_quantiles_exact(sf_dir):
         assert row["n_tokens"] == lens[idx]
 
 
+def test_scrub_crafted(tmp_path):
+    texts = [
+        "contact me at alice@example.com or visit https://example.com/a?x=1 now",
+        "server 192.168.0.1 responded; backup at 10.0.0.255 did not",
+        "no pii here at all",
+        "mixed https://u:p@host.example/x and bob.smith+tag@mail.co.uk and 8.8.8.8",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = to_df(dataprep.docs_scrub(str(tmp_path))).set_index("doc_id")
+    assert got.loc[0, "text_scrubbed"] == "contact me at <EMAIL> or visit <URL> now"
+    assert got.loc[1, "text_scrubbed"] == "server <IP> responded; backup at <IP> did not"
+    assert got.loc[2, "text_scrubbed"] == "no pii here at all"
+    # URL rule runs first, so the URL's embedded user@host never half-matches
+    assert got.loc[3, "text_scrubbed"] == "mixed <URL> and <EMAIL> and <IP>"
+
+
 def test_token_stats_matches_python(sf_dir):
     got = to_df(dataprep.docs_token_stats(sf_dir)).set_index("doc_id")
     t = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas().set_index("doc_id")
