@@ -27,6 +27,7 @@ import shutil
 import time
 from pathlib import Path
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.dataset as pads
 
@@ -144,14 +145,25 @@ def route(
         if shard_dir.exists():
             shutil.rmtree(shard_dir)  # idempotent rewrite, never append-dup
 
+        expected_rows = None
         if exchange == "compact":
-            _route_shard_compact(shard_files, shard_dir, enrich,
-                                 role_ref, tool_ref)
+            expected_rows = _route_shard_compact(shard_files, shard_dir,
+                                                 enrich, role_ref, tool_ref)
         else:
             _route_shard_hash(shard_files, shard_dir, enrich,
                               role_ref, tool_ref, salt)
 
         rows, by_severity = _written_counts(shard_dir)
+        if expected_rows is not None and rows != expected_rows:
+            # at-least-once map retries can leave stray fragments if a task
+            # died mid-write AND its retry split batches differently (the
+            # deterministic content-hash fragment names cover the common
+            # same-split case); fail the shard BEFORE the manifest commit so
+            # the rerun wipes and rebuilds it instead of double-counting
+            raise RuntimeError(
+                f"routed shard {key}: compacted {rows} rows but phase A "
+                f"wrote {expected_rows}; shard left uncommitted for rerun"
+            )
         manifest.commit(
             key,
             rows=rows,
@@ -250,10 +262,10 @@ def _route_shard_compact(shard_files: list[str], shard_dir: Path,
     frag_root.mkdir(parents=True)
 
     ds = _parsed_enriched(shard_files, enrich, role_ref, tool_ref, n_cpus)
-    ds.map_batches(
+    written = ds.map_batches(
         _write_fragments, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"frag_root": str(frag_root)},
-    ).count()  # drive phase A to completion
+    ).sum("n")  # drive phase A to completion; exact row count written
 
     rel_dirs = sorted(
         str(p.relative_to(frag_root))
@@ -268,38 +280,135 @@ def _route_shard_compact(shard_files: list[str], shard_dir: Path,
     else:
         shard_dir.mkdir(parents=True, exist_ok=True)
     shutil.rmtree(frag_root)
+    return int(written or 0)
 
 
 def _write_fragments(batch: pa.Table, frag_root: str) -> pa.Table:
-    import uuid
-
+    """Split one parsed block by (severity, tool) and write hive fragment
+    files. The batch is sorted FIRST, so every fragment is internally
+    (conv_id, turn_idx)-sorted — the compactor k-way-merges instead of
+    re-sorting. Fragment names are a CONTENT hash of the batch's key
+    columns, not a uuid: Ray map tasks are at-least-once, and a task that
+    wrote some fragments then died is re-executed on the same lineage
+    block — deterministic names make the retry overwrite its own files
+    instead of duplicating rows under fresh names."""
+    import polars as pl
     import pyarrow.dataset as pads
 
+    batch = _local_sort(batch)
+    h = np.bitwise_xor.reduce(
+        pl.from_arrow(batch.select(["conv_id", "turn_idx"]))
+        .hash_rows(seed=0)
+        .to_numpy()
+    ) if batch.num_rows else np.uint64(0)
     part = pads.partitioning(
         pa.schema([("severity", pa.string()), ("tool", pa.string())]),
         flavor="hive",
     )
     pads.write_dataset(
         batch, frag_root, format="parquet", partitioning=part,
-        basename_template=f"frag-{uuid.uuid4().hex}-{{i}}.parquet",
+        basename_template=f"frag-{int(h):016x}-{{i}}.parquet",
         existing_data_behavior="overwrite_or_ignore",
     )
     return pa.table({"n": pa.array([batch.num_rows], type=pa.int64())})
 
 
+COMPACT_BUDGET_BYTES = 256 * 1024 * 1024  # in-memory compaction ceiling
+MERGE_BATCH_ROWS = 256 * 1024             # k-way merge read granularity
+
+
 def _compact_partition(batch, frag_root: str, out_root: str):
+    """Merge one partition directory's sorted fragments into a single
+    sorted file. Small partitions (≤ COMPACT_BUDGET_BYTES of parquet)
+    concat-sort in memory; larger ones stream through a k-way merge whose
+    footprint is bounded by fragments × MERGE_BATCH_ROWS rows, never the
+    partition size — a hot (severity, tool) partition cannot OOM the
+    merge task."""
+    import os
+
     import pyarrow.parquet as pq
 
+    budget = int(os.environ.get("PGWEASEL_COMPACT_BUDGET_BYTES",
+                                COMPACT_BUDGET_BYTES))
     rels = batch["rel"] if isinstance(batch, dict) else batch["rel"].to_pylist()
     for rel in list(rels):
-        t = pq.read_table(Path(frag_root) / rel)
-        t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        src = Path(frag_root) / rel
+        frags = sorted(src.glob("*.parquet"))
         dest = Path(out_root) / rel
         dest.mkdir(parents=True, exist_ok=True)
-        pq.write_table(t, dest / "part-0.parquet")
+        out_file = dest / "part-0.parquet"
+        if sum(f.stat().st_size for f in frags) <= budget:
+            t = pa.concat_tables(pq.read_table(f) for f in frags)
+            t = t.sort_by([("conv_id", "ascending"),
+                           ("turn_idx", "ascending")])
+            pq.write_table(t, out_file)
+        else:
+            _merge_sorted_fragments(frags, out_file)
     import pyarrow as _pa
 
     return _pa.table({"n": _pa.array([len(list(rels))], type=_pa.int64())})
+
+
+def _merge_sorted_fragments(frags: list[Path], out_file: Path,
+                            batch_rows: int = MERGE_BATCH_ROWS) -> None:
+    """Streaming k-way merge of (conv_id, turn_idx)-sorted parquet files.
+
+    Holds at most one ``batch_rows`` buffer per fragment plus one emit
+    chunk. Loop invariant: every buffered row with key <= the minimum of
+    the active buffers' LAST keys can be emitted — any future row of
+    fragment i is >= its buffer's last key >= that minimum ((conv_id,
+    turn_idx) is unique, so ties cannot straddle the boundary)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    files = [pq.ParquetFile(f) for f in frags]
+    schema = files[0].schema_arrow
+    iters = [f.iter_batches(batch_size=batch_rows) for f in files]
+    bufs: list[pa.Table | None] = [None] * len(files)
+
+    def refill(i: int) -> None:
+        while bufs[i] is None or bufs[i].num_rows == 0:
+            nb = next(iters[i], None)
+            if nb is None:
+                bufs[i] = None
+                return
+            bufs[i] = pa.Table.from_batches([nb], schema)
+
+    with pq.ParquetWriter(out_file, schema) as writer:
+        for i in range(len(files)):
+            refill(i)
+        while True:
+            active = [i for i, b in enumerate(bufs) if b is not None]
+            if not active:
+                break
+            if len(active) == 1:
+                i = active[0]
+                while bufs[i] is not None:
+                    writer.write_table(bufs[i])
+                    bufs[i] = None
+                    refill(i)
+                break
+            bc, bt = min(
+                (bufs[i]["conv_id"][-1].as_py(), bufs[i]["turn_idx"][-1].as_py())
+                for i in active
+            )
+            chunks = []
+            for i in active:
+                b = bufs[i]
+                le = pc.or_(
+                    pc.less(b["conv_id"], bc),
+                    pc.and_(pc.equal(b["conv_id"], bc),
+                            pc.less_equal(b["turn_idx"], bt)),
+                )
+                cut = int(pc.sum(le).as_py() or 0)  # sorted ⇒ prefix
+                if cut:
+                    chunks.append(b.slice(0, cut))
+                bufs[i] = b.slice(cut)
+                refill(i)
+            emit = pa.concat_tables(chunks).sort_by(
+                [("conv_id", "ascending"), ("turn_idx", "ascending")]
+            )
+            writer.write_table(emit)
 
 
 TARGET_PARTITION_BYTES = 16 * 1024 * 1024  # parquet bytes per aggregator

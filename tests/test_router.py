@@ -159,6 +159,108 @@ def test_route_real_dir_and_incremental_by_file(sf_dir, tmp_path):
     assert m2.total_rows() == rows_first_two + pq.read_metadata(src[2]).num_rows
 
 
+def test_merge_sorted_fragments_streaming(tmp_path):
+    """The k-way merge must produce the exact sorted union with a read
+    granularity far below the fragment sizes (streams several buffers per
+    fragment) — the bounded-memory compaction path for hot partitions."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    frags = []
+    all_keys = []
+    for i in range(3):
+        n = 1000 + i * 137
+        conv = np.array([f"c{v:06d}" for v in rng.integers(0, 500, n)])
+        turn = rng.integers(0, 10_000, n).astype(np.int32)
+        t = pa.table({"conv_id": conv, "turn_idx": turn,
+                      "payload": rng.integers(0, 1 << 30, n)})
+        t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        all_keys.append(t)
+    # (conv_id, turn_idx) is a primary key in routed data: drop duplicates
+    seen: set = set()
+    uniq_tables = []
+    for i, t in enumerate(all_keys):
+        mask = []
+        for c, x in zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()):
+            mask.append((c, x) not in seen)
+            seen.add((c, x))
+        t2 = t.filter(pa.array(mask))
+        f = tmp_path / f"frag-{i}.parquet"
+        pq.write_table(t2, f)
+        frags.append(f)
+        uniq_tables.append(t2)
+    out = tmp_path / "merged.parquet"
+    router._merge_sorted_fragments(frags, out, batch_rows=100)
+    got = pq.read_table(out)
+    want = pa.concat_tables(uniq_tables).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    assert got.equals(want)
+    assert pq.ParquetFile(out).metadata.num_row_groups > 1  # streamed
+
+
+def test_compact_streaming_budget_matches_default(sf_dir, tmp_path, monkeypatch):
+    """Routing with a 1-byte compaction budget (every partition takes the
+    streaming k-way merge) must yield the identical partition contents and
+    within-partition order as the in-memory path."""
+    import duckdb
+
+    out_stream = tmp_path / "stream"
+    monkeypatch.setenv("PGWEASEL_COMPACT_BUDGET_BYTES", "1")
+    router.route(sf_dir, out_dir=out_stream, num_shards=2)
+    monkeypatch.delenv("PGWEASEL_COMPACT_BUDGET_BYTES")
+    out_mem = tmp_path / "mem"
+    router.route(sf_dir, out_dir=out_mem, num_shards=2)
+
+    q = ("SELECT severity, tool, conv_id, turn_idx, text "
+         "FROM read_parquet('{}/shard=*/severity=*/tool=*/*.parquet', "
+         "hive_partitioning=1) ORDER BY severity, tool, conv_id, turn_idx")
+    a = duckdb.sql(q.format(out_stream)).df()
+    b = duckdb.sql(q.format(out_mem)).df()
+    assert a.equals(b)
+    # within-file order is sorted on the streaming path too
+    one = sorted(out_stream.glob("shard=0/severity=*/tool=*/*.parquet"))[0]
+    df = duckdb.sql(
+        f"SELECT conv_id, turn_idx FROM read_parquet('{one}')"
+    ).df()
+    assert df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True).equals(
+        df.reset_index(drop=True)
+    )
+
+
+def test_fragment_names_deterministic(sf_dir, tmp_path):
+    """Fragment file names derive from batch CONTENT (retry-idempotent): two
+    identical phase-A runs over the same shard produce the identical
+    fragment name set, so an at-least-once re-execution overwrites rather
+    than duplicates."""
+    import pyarrow.parquet as pq
+
+    from pgweasel_ray.sources.transcripts import transcripts_path
+
+    f = sorted(transcripts_path(sf_dir).glob("*.parquet"))[0]
+    t = pq.read_table(f)
+    names = []
+    for _ in range(2):
+        frag_root = tmp_path / "frags"
+        if frag_root.exists():
+            shutil.rmtree(frag_root)
+        frag_root.mkdir()
+        from pgweasel_ray.stages.parse import parse_batch
+
+        parsed = parse_batch(t, groups=router.ROUTED_SCHEMA_GROUPS)
+        router._write_fragments(parsed, str(frag_root))
+        names.append(sorted(p.name for p in frag_root.rglob("*.parquet")))
+    assert names[0] == names[1]
+    # and a second write into the SAME dir does not duplicate files
+    parsed = parse_batch(t, groups=router.ROUTED_SCHEMA_GROUPS)
+    router._write_fragments(parsed, str(tmp_path / "frags"))
+    assert sorted(
+        p.name for p in (tmp_path / "frags").rglob("*.parquet")
+    ) == names[1]
+
+
 def test_routed_readback_row_texts(routed, sf_dir):
     """Set equality of routed rows vs input — the routed-row invariant."""
     _, out, _ = routed
