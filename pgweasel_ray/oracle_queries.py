@@ -112,7 +112,10 @@ def _decontaminate_sql() -> str:
     sharing no word-shingle hash with any benchmark doc."""
     mx = dataprep.DECONTAM_BENCH_MAX_ID
     return f"""WITH {H.sql_gram_hashes_cte()}, bgl AS (
-  SELECT list_distinct(flatten(list(hs))) AS bg
+  -- coalesce: zero benchmark docs must yield the EMPTY gram list, not
+  -- NULL (a NULL bg would null the intersect and drop every row, while
+  -- DecontaminateStage keeps all non-benchmark docs)
+  SELECT coalesce(list_distinct(flatten(list(hs))), []) AS bg
   FROM gh WHERE doc_id < {mx}
 )
 SELECT gh.doc_id FROM gh, bgl
@@ -166,7 +169,7 @@ def _corpus_prep_sql() -> str:
   SELECT doc_id FROM eq
   WHERE doc_id NOT IN (SELECT doc_id FROM mdom)
 ), {H.sql_gram_hashes_cte(table="documents", prefix="d_")}, bgl AS (
-  SELECT list_distinct(flatten(list(hs))) AS bg
+  SELECT coalesce(list_distinct(flatten(list(hs))), []) AS bg
   FROM d_gh WHERE doc_id < {mx}
 )
 SELECT m.doc_id FROM m, d_gh, bgl

@@ -994,21 +994,31 @@ class DecontaminateStage:
         return pa.table({"doc_id": pa.array(ids[keep], type=pa.int64())})
 
 
+def _bench_gram_set(sf_dir: str) -> np.ndarray:
+    """Benchmark-doc shingle-hash set with the doc_id predicate PUSHED INTO
+    the parquet read (``filters=`` → row-group/page pruning): the driver
+    materializes ~DECONTAM_BENCH_MAX_ID benchmark rows at ANY corpus size,
+    never the table (the 100 TB path — same bounded-read discipline as
+    :func:`_train_sample`)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        Path(sf_dir) / "documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", DECONTAM_BENCH_MAX_ID)],
+    )
+    grams = [H.gram_hash_array(H.tokens(x)) for x in t["text"].to_pylist()]
+    return np.unique(np.concatenate(grams)) if grams else np.empty(0, np.int64)
+
+
 def docs_decontaminate(sf_dir: str) -> Dataset:
     """Survivors = docs outside the benchmark set (doc_id <
     DECONTAM_BENCH_MAX_ID) sharing no word-shingle hash with any benchmark
     doc. Oracle: the same rule as list_intersect SQL over the shared gram
     CTE."""
-    import pyarrow.parquet as pq
     import ray
 
-    t = pq.read_table(Path(sf_dir) / "documents.parquet",
-                      columns=["doc_id", "text"])
-    bench_mask = pc.less(t["doc_id"], DECONTAM_BENCH_MAX_ID)
-    bench_texts = t.filter(bench_mask)["text"].to_pylist()
-    grams = [H.gram_hash_array(H.tokens(x)) for x in bench_texts]
-    bench = np.unique(np.concatenate(grams)) if grams else np.empty(0, np.int64)
-    ref = ray.put(bench)
+    ref = ray.put(_bench_gram_set(sf_dir))
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"_cls": DecontaminateStage, "_args": (ref,)},
@@ -1143,16 +1153,9 @@ def corpus_prep(sf_dir: str) -> pd.DataFrame:
     else:
         ds3 = ds2
 
-    # 4. decontamination (benchmark grams from the FULL table, broadcast)
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(Path(sf_dir) / "documents.parquet",
-                      columns=["doc_id", "text"])
-    bench_texts = t.filter(
-        pc.less(t["doc_id"], DECONTAM_BENCH_MAX_ID)
-    )["text"].to_pylist()
-    grams = [H.gram_hash_array(H.tokens(x)) for x in bench_texts]
-    bench = np.unique(np.concatenate(grams)) if grams else np.empty(0, np.int64)
+    # 4. decontamination (benchmark grams via pushed-down predicate read
+    #    over the FULL table — bounded driver memory, broadcast once)
+    bench = _bench_gram_set(sf_dir)
     final = ds3.map_batches(
         _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"_cls": DecontaminateStage, "_args": (ray.put(bench),)},

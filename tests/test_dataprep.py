@@ -210,6 +210,58 @@ def test_decontaminate_crafted(tmp_path):
     assert got == [10, 11]  # 12 shares the "the secret benchmark" shingles
 
 
+def test_bench_gram_read_is_pushed_down(sf_dir, monkeypatch):
+    """The benchmark-doc extraction must never materialize the corpus on
+    the driver: the doc_id predicate is passed as ``filters=`` into the
+    parquet read (row-group pruning), and the rows that reach the driver
+    are exactly the benchmark rows."""
+    import pyarrow.parquet as real_pq
+
+    calls = {}
+    orig = real_pq.read_table
+
+    def spy(path, *args, **kwargs):
+        calls["filters"] = kwargs.get("filters")
+        out = orig(path, *args, **kwargs)
+        calls["rows"] = out.num_rows
+        return out
+
+    monkeypatch.setattr(real_pq, "read_table", spy)
+    bench = dataprep._bench_gram_set(sf_dir)
+    assert calls["filters"] == [("doc_id", "<", dataprep.DECONTAM_BENCH_MAX_ID)]
+    assert calls["rows"] <= dataprep.DECONTAM_BENCH_MAX_ID
+    assert len(bench) > 0
+
+
+def test_decontaminate_empty_benchmark_matches_oracle(tmp_path):
+    """A corpus with NO benchmark docs (all doc_id >= the benchmark cutoff)
+    must keep every doc — on BOTH sides (the oracle's empty gram list is
+    coalesced to [], not NULL)."""
+    import duckdb
+
+    from pgweasel_ray import oracle_queries
+
+    texts = ["some corpus document number %d with plain words" % i
+             for i in range(5)]
+    ids = [dataprep.DECONTAM_BENCH_MAX_ID + i for i in range(len(texts))]
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = sorted(to_df(dataprep.docs_decontaminate(str(tmp_path)))["doc_id"])
+    assert got == ids
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+    ora = sorted(con.sql(oracle_queries._decontaminate_sql()).df()["doc_id"])
+    assert ora == ids
+
+
 def test_length_quantiles_exact(sf_dir):
     got = dataprep.docs_length_quantiles(sf_dir)
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
