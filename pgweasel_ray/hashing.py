@@ -68,6 +68,15 @@ LSH_SEED = 777
 IVF_SEED = 424242
 IVF_TRAIN_SAMPLE = 100_000   # bounded driver-side k-means training sample
 
+# embedding near-dup blocking: MORE planes than the ANN probe scheme so
+# bucket population stays bounded at corpus scale (2^16 buckets: 10^9
+# vectors → ~15k per bucket; the in-bucket verify is chunked on top).
+# Near-identical vectors (the >0.999-cosine regime this dedups) flip a
+# hyperplane sign only when a plane lands inside their ~2.5° cone, so
+# 16 planes keep recall high while shrinking buckets 256×.
+EMB_ND_PLANES = 16
+EMB_ND_SEED = 778
+
 
 # =============================================================================
 # Python / numpy side
@@ -370,8 +379,13 @@ def prefix_length(m: int, num: int = JC_NUM, den: int = JC_DEN) -> int:
 def lsh_planes(dim: int, n_planes: int = LSH_N_PLANES,
                seed: int = LSH_SEED) -> np.ndarray:
     """Seeded random hyperplanes (dim, n_planes) — identical floats are
-    embedded into the oracle SQL via :func:`sql_planes_literal`."""
+    embedded into the oracle SQL via :func:`sql_bucket_expr`."""
     return np.random.default_rng(seed).standard_normal((dim, n_planes))
+
+
+def emb_nd_planes(dim: int) -> np.ndarray:
+    """The embedding-near-dup blocking planes (dim, EMB_ND_PLANES)."""
+    return lsh_planes(dim, EMB_ND_PLANES, EMB_ND_SEED)
 
 
 # =============================================================================
@@ -492,29 +506,37 @@ SELECT doc_id,
 FROM cps"""
 
 
-def sql_planes_literal(dim: int) -> str:
-    """The seeded LSH hyperplanes as a DOUBLE[][] literal (exact float64
-    round-trip via repr)."""
-    pl = lsh_planes(dim)
-    rows = ", ".join(
-        "[" + ", ".join(repr(float(x)) for x in pl[i]) + "]"
-        for i in range(dim)
+def sql_bucket_expr(vec_expr: str, dim: int, n_planes: int,
+                    seed: int) -> str:
+    """Hyperplane bucket id of a list<float> expression: for each plane j,
+    bit j is set iff dot(vec, plane_j) > 0 — dots in float64, each plane
+    embedded as its own literal (no per-row plane-matrix rebuild).
+
+    FP-boundary caveat (documented, accepted): the Python side computes
+    dots with numpy BLAS (pairwise/blocked summation) while DuckDB's
+    list_inner_product reduces sequentially. A dot within ~1 ulp of 0
+    could therefore flip a bucket bit between pipeline and oracle. With
+    seeded continuous-random planes the event has measure ~0 (never
+    observed across the fuzz corpora); an epsilon guard would trade this
+    for a different boundary at ±eps, so we document instead."""
+    pl = lsh_planes(dim, n_planes, seed)
+    terms = " + ".join(
+        f"CASE WHEN list_inner_product(v.dv, {sql_float_list(pl[:, j])}) > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(n_planes)
     )
-    return f"[{rows}]"
+    return (f"(SELECT {terms} FROM "
+            f"(SELECT list_transform({vec_expr}, x -> x::DOUBLE) AS dv) v)")
 
 
 def sql_lsh_bucket_expr(vec_expr: str, dim: int) -> str:
-    """LSH bucket id of a list<float> expression: for each plane j, bit j is
-    set iff dot(vec, plane_j) > 0 — dots in float64, matching numpy."""
-    terms = " + ".join(
-        f"CASE WHEN list_inner_product(v.dv, "
-        f"list_transform(pl.planes, r -> r[{j + 1}])) > 0 "
-        f"THEN {1 << j} ELSE 0 END"
-        for j in range(LSH_N_PLANES)
-    )
-    return (f"(SELECT {terms} FROM "
-            f"(SELECT list_transform({vec_expr}, x -> x::DOUBLE) AS dv) v, "
-            f"(SELECT {sql_planes_literal(dim)} AS planes) pl)")
+    """ANN-probe bucket id (LSH_N_PLANES planes, LSH_SEED)."""
+    return sql_bucket_expr(vec_expr, dim, LSH_N_PLANES, LSH_SEED)
+
+
+def sql_emb_nd_bucket_expr(vec_expr: str, dim: int) -> str:
+    """Embedding-near-dup blocking bucket id (EMB_ND_PLANES planes)."""
+    return sql_bucket_expr(vec_expr, dim, EMB_ND_PLANES, EMB_ND_SEED)
 
 
 def sql_float_list(vals) -> str:

@@ -222,7 +222,7 @@ LIMIT {k}"""
 
 
 def _embed_neardup_sql(dim: int) -> str:
-    bucket = H.sql_lsh_bucket_expr("embedding", dim)
+    bucket = H.sql_emb_nd_bucket_expr("embedding", dim)
     return f"""WITH b AS (
   SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
 ), dom AS (

@@ -310,7 +310,8 @@ class MinHashBandStage:
         )
 
 
-def _keyed_blocks(ds_mat: Dataset, keys: list[str], fn) -> Dataset:
+def _keyed_blocks(ds_mat: Dataset, keys: list[str], fn,
+                  fn_kwargs: dict | None = None) -> Dataset:
     """Hash-partition a MATERIALIZED dataset by ``keys`` and apply ``fn``
     once per whole block (bucket-exclusive by construction). This replaces
     ``groupby(keys).map_groups`` for bucket-local work: map_groups costs
@@ -327,7 +328,7 @@ def _keyed_blocks(ds_mat: Dataset, keys: list[str], fn) -> Dataset:
         parts = view.repartition(n, keys=keys, sort=False)
         return parts.map_batches(
             fn, batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=None,
+            batch_size=None, fn_kwargs=fn_kwargs or {},
         )
 
 
@@ -752,12 +753,15 @@ def ann_cosine_topk(sf_dir: str, k: int = 10) -> Dataset:
 
 class LshBucketStage:
     """Random-hyperplane signatures (the scale path for ANN): vectors land
-    in 2^LSH_N_PLANES buckets; only the query's bucket(s) are scanned. The
+    in 2^n_planes buckets; only the query's bucket(s) are scanned. The
     seeded planes (hashing.lsh_planes) are embedded verbatim into the
-    oracle SQL (hashing.sql_lsh_bucket_expr)."""
+    oracle SQL (hashing.sql_bucket_expr). ANN probing uses the default
+    8-plane scheme; embedding near-dup blocks with the 16-plane scheme
+    (H.EMB_ND_PLANES) so buckets stay bounded at corpus scale."""
 
-    def __init__(self, dim: int):
-        self.planes = H.lsh_planes(dim)
+    def __init__(self, dim: int, n_planes: int = H.LSH_N_PLANES,
+                 seed: int = H.LSH_SEED):
+        self.planes = H.lsh_planes(dim, n_planes, seed)
 
     def signature(self, mat: np.ndarray) -> np.ndarray:
         bits = (mat @ self.planes) > 0
@@ -1164,39 +1168,77 @@ def corpus_prep(sf_dir: str) -> pd.DataFrame:
 
 
 EMBED_NEARDUP_THRESHOLD = 0.999
+EMB_ND_CHUNK_BUDGET = 32 * 1024 * 1024  # float64 cells per in-bucket matmul
+
+
+def embed_neardup_ds(sf_dir: str,
+                     threshold: float = EMBED_NEARDUP_THRESHOLD) -> Dataset:
+    """Embedding-cosine near-dup: block by the 16-plane hyperplane bucket
+    (2^16 buckets — bounded population at corpus scale), exact cosine
+    within blocks, survivors = vec_ids without a higher-similarity
+    smaller-id bucket-mate. Bucket-local work runs on the keyed-block path
+    (one vectorized call per hash partition, no per-bucket Python
+    dispatch), and the in-bucket similarity matmul is CHUNKED so a hot
+    bucket costs bounded memory, never an n×n matrix. Oracle:
+    plane-literal buckets + list_cosine_similarity in DuckDB."""
+    bucketed = _embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(
+        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"_cls": LshBucketStage,
+                   "_args": (_embedding_dim(sf_dir), H.EMB_ND_PLANES,
+                             H.EMB_ND_SEED)},
+    ).materialize()
+    dom = _keyed_blocks(bucketed, ["bucket"], _emb_dom_block,
+                        fn_kwargs={"threshold": threshold})
+    return _survivors(sf_dir, dom, id_col="vec_id")
 
 
 def embed_neardup(sf_dir: str,
                   threshold: float = EMBED_NEARDUP_THRESHOLD) -> pd.DataFrame:
-    """Embedding-cosine near-dup: block by LSH bucket, exact cosine within
-    blocks, survivors = vec_ids without a higher-similarity smaller-id
-    bucket-mate. Oracle: plane-literal buckets + list_cosine_similarity in
-    DuckDB."""
-    ds = _embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(
-        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
-        fn_kwargs={"_cls": LshBucketStage, "_args": (_embedding_dim(sf_dir),)},
-    )
-    dom = ds.groupby("bucket").map_groups(
-        _emit_cosine_dups, batch_format="pandas",
-        fn_kwargs={"threshold": threshold},
-    )
-    return _collect_ids(_survivors(sf_dir, dom, id_col="vec_id"), "vec_id")
+    return _collect_ids(embed_neardup_ds(sf_dir, threshold), "vec_id")
 
 
 def _embedding_dim(sf_dir: str) -> int:
     return len(_query_vector(sf_dir))
 
 
-def _emit_cosine_dups(df: pd.DataFrame, threshold: float) -> pa.Table:
-    if len(df) < 2:
+def _emb_dom_block(batch: pa.Table, threshold: float) -> pa.Table:
+    """Dominated vec_ids for one bucket-exclusive partition. Rows are
+    sorted by (bucket, vec_id); within each bucket, row j is dominated iff
+    some earlier row i (smaller vec_id) has cosine > threshold. The
+    similarity matrix is computed in row chunks of
+    EMB_ND_CHUNK_BUDGET // bucket_size rows, so peak memory is the budget,
+    independent of how hot the bucket is (a deliberately hot bucket is
+    exercised in tests)."""
+    if batch.num_rows == 0:
         return pa.table({"vec_id": pa.array([], type=pa.int64())})
-    df = df.sort_values("vec_id")
-    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    sims = mat @ mat.T
-    ids = df["vec_id"].to_numpy()
-    dominated = sorted(
-        {int(ids[j]) for j in range(len(ids)) for i in range(j)
-         if sims[i, j] > threshold}
+    bucket = batch["bucket"].to_numpy(zero_copy_only=False)
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    emb = batch["embedding"]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    mat = np.asarray(emb.flatten(), dtype=np.float64).reshape(
+        batch.num_rows, -1
     )
-    return pa.table({"vec_id": pa.array(dominated, type=pa.int64())})
+    order = np.lexsort((ids, bucket))
+    bucket, ids, mat = bucket[order], ids[order], mat[order]
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bounds = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1], True])
+    dominated: list[np.ndarray] = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        n = e - s
+        if n < 2:
+            continue
+        sub = mat[s:e]
+        chunk = max(1, int(EMB_ND_CHUNK_BUDGET // n))
+        for c0 in range(1, n, chunk):
+            c1 = min(n, c0 + chunk)
+            sims = sub[c0:c1] @ sub[:c1].T          # (chunk, c1)
+            close = sims > threshold
+            # row k (bucket index c0+k) may only be dominated by i < c0+k
+            allowed = np.arange(c1)[None, :] < np.arange(c0, c1)[:, None]
+            dom_rows = (close & allowed).any(axis=1)
+            if dom_rows.any():
+                dominated.append(ids[s + c0:s + c1][dom_rows])
+    out = (np.unique(np.concatenate(dominated)) if dominated
+           else np.empty(0, np.int64))
+    return pa.table({"vec_id": pa.array(out, type=pa.int64())})

@@ -163,6 +163,48 @@ def test_embed_neardup_crafted(tmp_path):
     assert got == [0, 2]  # 1 is a scaled copy of 0 → removed
 
 
+def test_embed_neardup_hot_bucket_chunked(tmp_path, monkeypatch):
+    """A deliberately HOT bucket (120 near-identical vectors + noise) with
+    the in-bucket matmul budget shrunk so the chunked path runs many
+    chunks; result must equal an independent numpy replay of the blocking
+    semantics (same buckets, exact cosine, smaller-id domination)."""
+    from pgweasel_ray import hashing as H
+
+    rng = np.random.default_rng(9)
+    dim = 32
+    base = rng.standard_normal(dim)
+    vecs = [base + rng.standard_normal(dim) * 1e-6 for _ in range(120)]
+    vecs += [rng.standard_normal(dim) for _ in range(30)]
+    mat = np.stack(vecs).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), type=pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    monkeypatch.setattr(dataprep, "EMB_ND_CHUNK_BUDGET", 64)  # force chunks
+    got = sorted(dataprep.embed_neardup(str(tmp_path))["vec_id"])
+
+    # independent replay: ND-plane buckets + all-pairs cosine
+    m64 = mat.astype(np.float64)
+    buckets = dataprep.LshBucketStage(
+        dim, H.EMB_ND_PLANES, H.EMB_ND_SEED
+    ).signature(m64)
+    norm = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    thr = dataprep.EMBED_NEARDUP_THRESHOLD
+    dominated = {
+        j for j in range(len(vecs)) for i in range(j)
+        if buckets[i] == buckets[j] and sims[i, j] > thr
+    }
+    want = sorted(set(range(len(vecs))) - dominated)
+    assert got == want
+    assert len(dominated) >= 100  # the hot bucket really was hot
+
+
 def test_sample_hash_deterministic_and_rate(sf_dir):
     a = sorted(to_df(dataprep.docs_sample_hash(sf_dir))["doc_id"])
     b = sorted(to_df(dataprep.docs_sample_hash(sf_dir))["doc_id"])
