@@ -21,6 +21,8 @@ embedded in the generated SQL as literals.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 P = 2147483647           # 2^31 - 1 (Mersenne prime); every hash value < P
@@ -31,6 +33,7 @@ B2 = 1000033
 MH_NUM_PERM = 64
 MH_BANDS = 16
 MH_ROWS = MH_NUM_PERM // MH_BANDS    # 4 signature slots per band
+MH_GRAM_CHUNK = 262_144              # perm-matrix columns per chunk (~128 MB)
 MH_SHINGLE = 3                       # word 3-grams
 GRAM_SEP = "\x1f"                    # joins words inside a shingle
 GRAM_PAD = "\x02"                    # pads docs shorter than the shingle
@@ -95,10 +98,17 @@ def poly_hash(s: str, base: int = B1) -> int:
     return acc
 
 
+_TOKEN_RE = re.compile(r"[^\t\n\f\r ]+")
+
+
 def tokens(text: str) -> list[str]:
-    """Word tokens: lowercase, split on whitespace (ASCII corpus ⇒ identical
-    to DuckDB ``regexp_extract_all(lower(text), '\\S+')``)."""
-    return text.lower().split()
+    """Word tokens: lowercase, maximal runs of non-whitespace with RE2's
+    ASCII whitespace class ``\\s = [\\t\\n\\f\\r ]`` — EXACTLY DuckDB
+    ``regexp_extract_all(lower(text), '\\S+')``. (``str.split()`` would
+    additionally split on \\x0b, \\x1c-\\x1f, \\x85, \\xa0 …Unicode
+    whitespace and silently break MinHash/SimHash/Jaccard/decontamination
+    parity on such text; fuzz-covered in test_hashing_fuzz.)"""
+    return _TOKEN_RE.findall(text.lower())
 
 
 def shingles(words: list[str], n: int = MH_SHINGLE) -> list[str]:
@@ -324,8 +334,14 @@ def minhash_bands_docs(texts: list[str]) -> np.ndarray:
       doc-contiguous). ~64·8 bytes per gram of transient memory — ~60 MB
       for a 1024-doc batch, sized for map_batches defaults.
 
+    The (MH_NUM_PERM, n_grams) permutation matrix is computed in gram
+    CHUNKS of MH_GRAM_CHUNK columns (per-chunk reduceat minima folded into
+    the signature), so transient memory is ~64·8·MH_GRAM_CHUNK bytes
+    regardless of how long the batch's documents are — a batch of 10k-word
+    docs no longer allocates grams×64 int64 at once.
+
     Equals the per-doc [band_hashes(minhash_signature(gram_hashes(t)))]
-    path (asserted in tests)."""
+    path (asserted in tests, including across chunk boundaries)."""
     if not texts:
         return np.empty((0, MH_BANDS), dtype=np.int64)
     g, gram_doc = gram_hash_flat(texts)
@@ -333,8 +349,16 @@ def minhash_bands_docs(texts: list[str]) -> np.ndarray:
     gram_starts = np.concatenate(
         [[0], np.flatnonzero(gram_doc[1:] != gram_doc[:-1]) + 1]
     )
-    perms = (MH_A[:, None] * g[None, :] + MH_B[:, None]) % P
-    sig = np.minimum.reduceat(perms, gram_starts, axis=1)  # (64, n_docs)
+    n_docs = len(texts)
+    sig = np.full((MH_NUM_PERM, n_docs), P, dtype=np.int64)  # hashes < P
+    for a in range(0, len(g), MH_GRAM_CHUNK):
+        b = min(len(g), a + MH_GRAM_CHUNK)
+        perms = (MH_A[:, None] * g[None, a:b] + MH_B[:, None]) % P
+        inner = gram_starts[(gram_starts > a) & (gram_starts < b)]
+        starts = np.concatenate([[a], inner]) - a
+        seg_docs = gram_doc[starts + a]  # unique within a chunk
+        mins = np.minimum.reduceat(perms, starts, axis=1)
+        sig[:, seg_docs] = np.minimum(sig[:, seg_docs], mins)
     slots = sig.reshape(MH_BANDS, MH_ROWS, -1)
     return ((((slots * MH_C[None, :, None]) % P).sum(axis=1)) % P).T
 

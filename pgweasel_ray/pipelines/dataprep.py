@@ -383,17 +383,39 @@ def _survivors(sf_dir: str, dups: Dataset, id_col: str = "doc_id") -> Dataset:
             _anti_filter, batch_format="pyarrow", zero_copy_batch=True,
             fn_kwargs={"id_col": id_col, "dom_ref": ref},
         )
-    # empty right-side partitions break key resolution in Ray's hash
-    # join, so partitions scale with the dup count (at 10^12-doc scale
-    # every partition is dense and this is simply n_cpus-sized)
     return all_ids.join(
         dups, join_type="left_anti",
-        num_partitions=max(1, min(8, n_dups // 8)),
+        num_partitions=_join_partitions(n_dups),
         on=(id_col,),
     )
 
 
 BROADCAST_ANTI_MAX = 1_000_000  # dominated ids broadcast below this size
+JOIN_ROWS_PER_PARTITION = 64    # right-side rows that justify one aggregator
+
+
+def _join_partitions(n_right_rows: int, concurrent_joins: int = 1) -> int:
+    """Hash-join partition count sized by DATA and CLUSTER instead of a
+    fixed cap. Two constraints, both measured:
+
+    - empty right-side partitions break Ray's join key resolution, so the
+      count stays ≤ rows/JOIN_ROWS_PER_PARTITION (a uniform hash then
+      leaves every partition non-empty w.h.p.);
+    - every join partition is a 1-CPU aggregator ACTOR alive for the whole
+      exchange, and ``concurrent_joins`` pipelined joins hold their pools
+      simultaneously — requesting more actor CPUs than the cluster has
+      livelocks the scheduler (measured: 2×31 partitions at 8 CPUs never
+      completes; n_cpus//2 per join runs in seconds). Cap at
+      n_cpus / (2 × concurrent_joins), leaving the other half of the
+      cluster for the map/read tasks the joins consume.
+
+    On a 256-node/8k-CPU cluster this is ~2k partitions per join; on the
+    8-CPU test session it reproduces the pre-round-3 local behavior."""
+    import ray
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    cap = max(2, n_cpus // (2 * max(1, concurrent_joins)))
+    return int(max(1, min(cap, n_right_rows // JOIN_ROWS_PER_PARTITION)))
 
 
 def _anti_filter(batch: pa.Table, id_col: str, dom_ref) -> pa.Table:
@@ -582,7 +604,7 @@ def dedup_ngram_jaccard_ds(sf_dir: str) -> Dataset:
     if n_pairs == 0:
         return _docs(sf_dir, ["doc_id"])
 
-    n_parts = max(1, min(8, n_pairs // 8))
+    n_parts = _join_partitions(n_pairs, concurrent_joins=2)
     a_side = gram_sets.map_batches(
         _rename_grams, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"id_to": "a", "grams_to": "a_grams"},

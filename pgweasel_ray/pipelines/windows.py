@@ -162,11 +162,17 @@ def events_by_segment(sf_dir: str) -> Dataset:
 
 # --- broadcast semi-join ------------------------------------------------------
 
+FLAGGED_BROADCAST_MAX = 1_000_000  # flagged-key set broadcast below this
+
+
 def flagged_conv_turns(sf_dir: str) -> Dataset:
-    """Turn counts of conversations containing ≥1 auth failure: the flagged
-    conv_id set is computed first (tiny), broadcast, and the big side is
-    filtered inside map_batches — a semi-join with no shuffle of the big
-    side."""
+    """Turn counts of conversations containing ≥1 auth failure. The flagged
+    conv_id set is distinct-aggregated DISTRIBUTED first; if small (the
+    documented common case) it is broadcast and the big side filters inside
+    map_batches — a semi-join with no shuffle of the big side. Above
+    FLAGGED_BROADCAST_MAX distinct keys it falls back to a hash-partitioned
+    inner join, so an adversarial input can not land an unbounded key set
+    on the driver."""
     import ray
 
     flagged_ds = read_transcripts(sf_dir, columns=["conv_id", "text"]).map_batches(
@@ -177,12 +183,26 @@ def flagged_conv_turns(sf_dir: str) -> Dataset:
                        require=(("event", "auth_failure"),),
                        keep=("conv_id",)),
     )
-    flagged = set(flagged_ds.unique("conv_id"))
-    flagged_ref = ray.put(flagged)
-    turns = read_transcripts(sf_dir, columns=["conv_id"]).map_batches(
-        _filter_conv_set, batch_format="pyarrow", zero_copy_batch=True,
-        fn_kwargs={"conv_set_ref": flagged_ref},
+    distinct = (
+        grouped_count(flagged_ds, ["conv_id"])
+        .select_columns(["conv_id"])
+        .materialize()
     )
+    n_flagged = distinct.count()
+    turns = read_transcripts(sf_dir, columns=["conv_id"])
+    if n_flagged <= FLAGGED_BROADCAST_MAX:
+        flagged_ref = ray.put(set(distinct.to_pandas()["conv_id"]))
+        turns = turns.map_batches(
+            _filter_conv_set, batch_format="pyarrow", zero_copy_batch=True,
+            fn_kwargs={"conv_set_ref": flagged_ref},
+        )
+    else:
+        turns = turns.join(
+            distinct, join_type="inner", on=("conv_id",),
+            num_partitions=max(
+                2, int(ray.cluster_resources().get("CPU", 8)) // 4
+            ),
+        )
     return grouped_count(turns, ["conv_id"])
 
 

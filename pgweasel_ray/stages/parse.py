@@ -51,8 +51,10 @@ def parse_filter_project(
     columns (e.g. (("event", "received"),)); ``keep`` is the output
     projection.
     """
+    import numpy as np
+
     batch = parse_table(batch, text_col="text", groups=groups, fmt=fmt)
-    mask = pc.cast(pa.array([True] * batch.num_rows), pa.bool_())
+    mask = pa.array(np.ones(batch.num_rows, dtype=bool))
     if contains is not None:
         mask = pc.and_(mask, pc.match_substring(batch["text"], contains))
     if min_rank is not None:

@@ -105,6 +105,53 @@ def test_sql_fingerprint_matches_python(con):
         assert got[i] == H.fingerprint(t)
 
 
+def test_minhash_bands_chunked_matches_unchunked(monkeypatch):
+    """The gram-chunked permutation path (bounded transient memory) must be
+    bit-identical to the single-pass path, including when chunk boundaries
+    fall INSIDE a document's gram run."""
+    texts = TEXTS + ["lorem ipsum dolor sit amet " * 40]  # a long doc
+    want = H.minhash_bands_docs(texts)
+    monkeypatch.setattr(H, "MH_GRAM_CHUNK", 7)  # many intra-doc boundaries
+    got = H.minhash_bands_docs(texts)
+    assert got.tolist() == want.tolist()
+
+
+def test_tokens_matches_re2_whitespace_class():
+    """tokens() must follow RE2's ASCII \\s (DuckDB '\\S+'), NOT Python
+    str.split's Unicode whitespace — \\x0b etc. stay inside a token."""
+    t = "a\x0bb c\x1cd e\xa0f g\th"
+    assert H.tokens(t) == ["a\x0bb", "c\x1cd", "e\xa0f", "g", "h"]
+    import duckdb
+
+    got = duckdb.sql(
+        "SELECT regexp_extract_all(lower(?), '\\S+')", params=[t]
+    ).fetchone()[0]
+    assert got == H.tokens(t)
+
+
+def test_sql_emb_nd_bucket_matches_numpy(con):
+    rng = np.random.default_rng(10)
+    emb = rng.standard_normal((20, 16)).astype(np.float32)
+    et = pa.table(
+        {
+            "vec_id": pa.array(range(20), type=pa.int64()),
+            "embedding": pa.array(
+                [r.tolist() for r in emb], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    con.register("em16nd", et)
+    planes = H.emb_nd_planes(16)
+    bits = (emb.astype(np.float64) @ planes) > 0
+    want = (
+        (bits * (1 << np.arange(H.EMB_ND_PLANES))).sum(axis=1).astype(np.int64)
+    ).tolist()
+    q = (f"SELECT {H.sql_emb_nd_bucket_expr('embedding', 16)} "
+         f"FROM em16nd ORDER BY vec_id")
+    got = [r[0] for r in con.sql(q).fetchall()]
+    assert got == want
+
+
 def test_sql_lsh_bucket_matches_numpy(con):
     rng = np.random.default_rng(9)
     emb = rng.standard_normal((20, 16)).astype(np.float32)

@@ -12,10 +12,15 @@ from hypothesis import strategies as st
 
 from pgweasel_ray import hashing as H
 
-# printable ASCII incl. space (fixture corpora are ASCII; space is the only
-# whitespace) — deliberately includes quotes/commas/control-adjacent chars
+# printable ASCII incl. space — deliberately includes quotes/commas/control-
+# adjacent chars — PLUS the whitespace codepoints where Python str.split and
+# RE2 '\S+' disagree (\x0b \x1c-\x1f \x85 \xa0: Unicode whitespace that RE2's
+# ASCII \s does NOT split on). tokens() must follow RE2 for oracle parity.
 ascii_text = st.text(
-    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    alphabet=st.characters(
+        min_codepoint=0x20, max_codepoint=0x7E,
+        include_characters="\x0b\x1c\x1d\x1e\x1f\x85\xa0\t",
+    ),
     max_size=120,
 )
 
