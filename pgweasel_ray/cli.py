@@ -207,6 +207,43 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+class _DebugTimer:
+    """``-d/--debug`` per-stage elapsed report (the reference logs read/
+    output/aggregate elapsed per file with --debug:
+    /root/reference/src/output_results/mod.rs:39,82,126,136 + README.md:66).
+    Driver-side phases are timed with mark(); within-pipeline attribution
+    (read vs parse vs aggregate wall) comes from Ray Data's own per-operator
+    stats of the EXECUTED dataset. Lines go to stderr so report stdout stays
+    parseable."""
+
+    def __init__(self, enabled: bool):
+        import time
+
+        self.enabled = enabled
+        self._clock = time.monotonic
+        self._last = self._clock()
+
+    def mark(self, label: str) -> None:
+        now = self._clock()
+        if self.enabled:
+            print(f"[debug] {label} elapsed: {now - self._last:.3f}s",
+                  file=sys.stderr)
+        self._last = now
+
+    def stats(self, ds) -> None:
+        """Per-operator wall-time lines of an executed Dataset."""
+        if not self.enabled or ds is None:
+            return
+        try:
+            text = ds.stats()
+        except Exception:
+            return
+        for line in text.splitlines():
+            s = line.strip()
+            if s.startswith("Operator") or "Execution time" in s:
+                print(f"[debug] {s}", file=sys.stderr)
+
+
 def _input(args) -> str:
     if len(args.paths) == 1:
         return args.paths[0]
@@ -219,14 +256,15 @@ def _input(args) -> str:
     return ingest_to_transcripts(args.paths, out)
 
 
-def _print_records(ds) -> None:
+def _print_records(ds):
     # stable (conv_id, turn_idx) order, text verbatim (the reference prints
     # in file order; ours is the documented deterministic order, SURVEY §2.5)
-    for batch in ds.sort(["conv_id", "turn_idx"]).iter_batches(
-        batch_size=4096, batch_format="pyarrow"
-    ):
+    # returns the EXECUTED dataset so --debug can read its operator stats
+    executed = ds.sort(["conv_id", "turn_idx"])
+    for batch in executed.iter_batches(batch_size=4096, batch_format="pyarrow"):
         for text in batch.column("text").to_pylist():
             print(text)
+    return executed
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -238,8 +276,12 @@ def main(argv: list[str] | None = None) -> int:
     from .pipelines.common import grouped_count
     from .stages.parse import add_bucket
 
+    timer = _DebugTimer(args.debug)
+    executed = None  # the pipeline whose operator stats --debug reports
+
     begin, end, mask = _resolve_time(args.begin), _resolve_time(args.end), args.mask
     inp = _input(args)
+    timer.mark("resolve input")
 
     def floor(default_rank: int) -> int:
         if getattr(args, "level", None):
@@ -249,7 +291,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "errors":
         rank = floor(core.ERROR_RANK)
         if args.subcommand == "list":
-            _print_records(core.records(inp, rank, mask, begin, end))
+            executed = _print_records(core.records(inp, rank, mask, begin, end))
         elif args.subcommand == "top":
             ds = core.records(inp, rank, mask, begin, end,
                               keep=("message",))
@@ -263,6 +305,7 @@ def main(argv: list[str] | None = None) -> int:
                 .limit(args.max)
             )
             print(render.render_frequency(counts.to_pandas(), "message"))
+            executed = counts
         else:  # hist
             import pandas as pd
 
@@ -277,6 +320,7 @@ def main(argv: list[str] | None = None) -> int:
                 ).sort("bucket_ts")
             )
             print(render.render_histogram(buckets.to_pandas()))
+            executed = buckets
 
     elif args.command == "slow":
         rank = core.LOG_RANK  # main.rs:155,163
@@ -302,6 +346,7 @@ def main(argv: list[str] | None = None) -> int:
                 descending=[True, False, False],
             ).limit(core.TOP_SLOW_K)
             print(render.render_top_slow(top.to_pandas()))
+            executed = top
         else:
             import pandas as pd
 
@@ -310,11 +355,11 @@ def main(argv: list[str] | None = None) -> int:
                               keep=("conv_id", "turn_idx", "duration_ms", "text"))
             ds = ds.map_batches(core._slow_filter, batch_format="pyarrow",
                                 fn_kwargs={"threshold_ms": thr_ms})
-            _print_records(ds)
+            executed = _print_records(ds)
 
     elif args.command in ("locks", "system"):
         feature = "is_lock" if args.command == "locks" else "is_system"
-        _print_records(
+        executed = _print_records(
             core.records(inp, floor(core.LOG_RANK), mask, begin, end,
                          feature=feature)
         )
@@ -352,6 +397,13 @@ def main(argv: list[str] | None = None) -> int:
                                 shard_by=args.shard_by)
         print(f"routed {manifest.total_rows()} turns into "
               f"{len(manifest.entries)} shards under {args.out}")
+        if args.debug:
+            for key, e in sorted(manifest.entries.items()):
+                print(f"[debug] {key}: rows={e.get('rows')} "
+                      f"wall={e.get('wall_s', 0):.3f}s", file=sys.stderr)
+
+    timer.mark("build+execute+render")
+    timer.stats(executed)
 
     if owns_session:
         import ray

@@ -1124,7 +1124,7 @@ def _quality_keep_rows(batch: pa.Table) -> pa.Table:
     return batch.select(["doc_id", "text"]).filter(pa.array(keep))
 
 
-def corpus_prep(sf_dir: str) -> pd.DataFrame:
+def corpus_prep_ds(sf_dir: str) -> Dataset:
     """The end-to-end training-corpus construction recipe — the stages of
     this module COMPOSED in the order a real 100 TB prep job runs them,
     each stage consuming the previous stage's survivors:
@@ -1138,7 +1138,10 @@ def corpus_prep(sf_dir: str) -> pd.DataFrame:
     min-ids WITHIN the filtered set); the DuckDB oracle chains the same
     steps over the same shared hashing constants.
 
-    Returns the surviving doc_ids (sorted)."""
+    Returns the surviving doc_ids as a Dataset — the corpus-scale path:
+    consume with write_parquet (tested) or as a join side; nothing lands
+    on the driver. ``corpus_prep`` is the query-contract veneer that
+    collects the ids."""
     import ray
 
     n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
@@ -1148,7 +1151,11 @@ def corpus_prep(sf_dir: str) -> pd.DataFrame:
         _quality_keep_rows, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
     if ds1.count() == 0:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], type=pa.int64())})
+        )
 
     # 2. exact dedup within the filtered set
     hashed = ds1.map_batches(
@@ -1186,7 +1193,13 @@ def corpus_prep(sf_dir: str) -> pd.DataFrame:
         _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"_cls": DecontaminateStage, "_args": (ray.put(bench),)},
     )
-    return _collect_ids(final.select_columns(["doc_id"]), "doc_id")
+    return final.select_columns(["doc_id"])
+
+
+def corpus_prep(sf_dir: str) -> pd.DataFrame:
+    """Surviving doc_ids (sorted) of :func:`corpus_prep_ds` — the oracle-
+    checked query contract."""
+    return _collect_ids(corpus_prep_ds(sf_dir), "doc_id")
 
 
 EMBED_NEARDUP_THRESHOLD = 0.999

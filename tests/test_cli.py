@@ -43,6 +43,33 @@ class TestNormalizeArgv:
         assert args.max == 2 and args.mask is None
 
 
+def test_cli_debug_stage_timings(sf_dir, capsys):
+    """-d must surface a per-stage elapsed report (reference --debug logs
+    read/output/aggregate elapsed: output_results/mod.rs:39,82,126,136):
+    driver phase lines + Ray Data per-operator stats lines on stderr,
+    stdout unchanged."""
+    rc = main(["-d", "errors", "top", sf_dir])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "[debug] resolve input elapsed:" in cap.err
+    assert "[debug] build+execute+render elapsed:" in cap.err
+    assert "[debug] Operator" in cap.err  # per-operator wall times
+    assert "[debug]" not in cap.out  # report stream stays clean
+
+    # without -d: no debug lines at all
+    main(["errors", "top", sf_dir])
+    cap = capsys.readouterr()
+    assert "[debug]" not in cap.err
+
+
+def test_cli_debug_route_shard_walls(sf_dir, capsys, tmp_path):
+    rc = main(["-d", "route", sf_dir, "--out", str(tmp_path / "r")])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "[debug] shard=0: rows=" in cap.err
+    assert "wall=" in cap.err
+
+
 def test_cli_end_to_end_list(sf_dir, capsys):
     rc = main(["errors", "list", sf_dir, "-l", "fatal"])
     assert rc == 0

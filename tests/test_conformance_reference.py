@@ -186,6 +186,56 @@ def add_bucket_df(ds, width_s):
     ).to_pandas()
 
 
+class TestSyslogWrapped:
+    """testdata/syslog1.log — the syslog-wrapped prefix variant the
+    reference ships but never asserts on. Our ingest unwraps the transport
+    prefix (each syslog part repeats the log_line_prefix timestamp), so
+    records, severities and timestamps come out exactly as for the same
+    log in stderr format. (The reference itself would collapse the whole
+    file into ONE record: no line is timestamp-shaped at byte 0 — the
+    unwrap is a documented improvement, see sources/rawlog.py.)"""
+
+    SYSLOG = Path("/root/reference/testdata/syslog1.log")
+
+    @pytest.fixture(scope="class")
+    def syslogged(self, tmp_path_factory):
+        pytest.importorskip("ray")
+        if not self.SYSLOG.exists():
+            pytest.skip("reference testdata not available")
+        from pgweasel_ray.sources.rawlog import ingest_to_transcripts
+
+        out = tmp_path_factory.mktemp("syslog")
+        ingest_to_transcripts([str(self.SYSLOG)], str(out))
+        return str(out)
+
+    def test_record_count_and_severities(self, syslogged):
+        import duckdb
+
+        n_lines = len(self.SYSLOG.read_bytes().strip().split(b"\n"))
+        df = _records(syslogged, "syslog1", min_rank=0)
+        # every syslog line carries its own pg timestamp ⇒ one record each
+        assert len(df) == n_lines == 30
+        # no syslog transport prefix survives into the record text
+        assert not df["text"].str.match(r"^[A-Z][a-z]{2} ").any()
+        assert df["text"].str.match(
+            r"^\d{4}-\d\d-\d\d \d\d:\d\d:\d\d"
+        ).all()
+        # severity extraction through the unwrapped prefix
+        counts = df["severity"].value_counts().to_dict()
+        assert counts.get("error") == 1
+        assert counts.get("warning", 0) + counts.get("log", 0) >= 25
+        # timestamps parsed from the pg timestamp, not the syslog one
+        ts_min = duckdb.sql(
+            f"SELECT min(ts) FROM read_parquet('{syslogged}/*.parquet')"
+        ).fetchone()[0]
+        assert str(ts_min).startswith("2025-05-30 11:03:43")
+
+    def test_errors_match_raw_grep(self, syslogged):
+        df = _records(syslogged, "syslog1", min_rank=8)
+        assert len(df) == 1
+        assert "syntax error" in df["text"].iloc[0]
+
+
 class TestLocksSystem:
     def test_locks(self, ingested):
         # tests/locks.rs:6-15

@@ -252,6 +252,25 @@ def test_decontaminate_crafted(tmp_path):
     assert got == [10, 11]  # 12 shares the "the secret benchmark" shingles
 
 
+def test_corpus_prep_ds_sink_matches_collected(sf_dir, tmp_path):
+    """The corpus-scale path: corpus_prep_ds returns a lazy Dataset whose
+    parquet sink holds exactly the ids the query contract collects — the
+    composed recipe is runnable end-to-end without landing survivors on
+    the driver."""
+    ds = dataprep.corpus_prep_ds(sf_dir)
+    ds.write_parquet(str(tmp_path / "survivors"))
+    import duckdb
+
+    sunk = sorted(
+        duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{tmp_path}/survivors/*.parquet')"
+        ).df()["doc_id"]
+    )
+    collected = list(dataprep.corpus_prep(sf_dir)["doc_id"])
+    assert sunk == collected
+    assert len(sunk) > 0
+
+
 def test_bench_gram_read_is_pushed_down(sf_dir, monkeypatch):
     """The benchmark-doc extraction must never materialize the corpus on
     the driver: the doc_id predicate is passed as ``filters=`` into the

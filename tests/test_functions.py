@@ -289,6 +289,29 @@ class TestMultimodal:
         assert out["n_frames"].to_pylist() == [4]
         assert len(out["frame_rms"].to_pylist()[0]) == 4
 
+    def test_real_codec_path_with_pillow(self):
+        """Exercises the REAL decode branch wherever pillow exists (absent
+        in this container → skipped; green elsewhere without changes)."""
+        Image = pytest.importorskip("PIL.Image")
+        import io
+
+        import numpy as np
+
+        from pgweasel_ray.stages.multimodal import ImageDecodeStage
+
+        arr = (np.arange(8 * 6 * 3, dtype=np.uint8).reshape(8, 6, 3))
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        batch = pa.table({
+            "id": pa.array([1], type=pa.int64()),
+            "image": pa.array([buf.getvalue()], type=pa.binary()),
+        })
+        out = ImageDecodeStage()(batch)
+        assert out["height"].to_pylist() == [8]
+        assert out["width"].to_pylist() == [6]
+        assert out["channels"].to_pylist() == [3]
+        assert abs(out["mean_intensity"].to_pylist()[0] - arr.mean()) < 1e-9
+
     def test_decode_unknown_payload_raises(self):
         from pgweasel_ray.stages.multimodal import ImageDecodeStage
 
