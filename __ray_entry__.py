@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # + the composed quality→dedup→decontaminate recipe
         "corpus_prep": dataprep.corpus_prep,
         "docs_scrub": dataprep.docs_scrub,
+        "docs_repetition": dataprep.docs_repetition,
         "docs_sample_hash": dataprep.docs_sample_hash,
         "docs_vocab_topk": dataprep.docs_vocab_topk,
         "docs_decontaminate": dataprep.docs_decontaminate,

@@ -244,7 +244,9 @@ def _flatten_docs(docs_words: list[list[str]]):
     return flat, counts, starts
 
 
-def gram_hash_flat(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+def gram_hash_flat(
+    texts: list[str], n: int = MH_SHINGLE
+) -> tuple[np.ndarray, np.ndarray]:
     """(flat shingle hashes, owning doc index) for a whole batch in one
     flat pass: pad short docs, hash every word once (codepoint reduceat),
     combine shingles with the polynomial concat identity, mask windows that
@@ -255,8 +257,8 @@ def gram_hash_flat(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     docs_words = []
     for t in texts:
         w = tokens(t)
-        if len(w) < MH_SHINGLE:
-            w = w + [GRAM_PAD] * (MH_SHINGLE - len(w))
+        if len(w) < n:
+            w = w + [GRAM_PAD] * (n - len(w))
         docs_words.append(w)
     flat, counts, _ = _flatten_docs(docs_words)
     hw = word_hash_array(flat)
@@ -264,7 +266,6 @@ def gram_hash_flat(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     pw = _powers(B1, int(lens.max()) + 1)[lens]
     doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
 
-    n = MH_SHINGLE
     sep = ord(GRAM_SEP)
     upto = len(flat) - n + 1
     g = hw[:upto].copy()
@@ -437,14 +438,14 @@ def sql_words(expr: str = "text") -> str:
     return rf"regexp_extract_all(lower({expr}), '\S+')"
 
 
-def sql_gram_hashes_cte(table: str = "documents", prefix: str = "") -> str:
+def sql_gram_hashes_cte(table: str = "documents", prefix: str = "",
+                        n: int = MH_SHINGLE) -> str:
     """CTE chain ``w → padded → grams → gh`` ending with
-    {prefix}gh(doc_id, hs list<bigint>) — the per-doc shingle hash list.
-    ``prefix`` namespaces the CTEs so two chains can coexist in one query
-    (used by the composed corpus_prep oracle)."""
+    {prefix}gh(doc_id, hs list<bigint>) — the per-doc word-``n``-gram hash
+    list. ``prefix`` namespaces the CTEs so two chains can coexist in one
+    query (used by the composed corpus_prep oracle)."""
     pad = ord(GRAM_PAD)
     sep = ord(GRAM_SEP)
-    n = MH_SHINGLE
     p = prefix
     gram_expr = f" || chr({sep}) || ".join(
         f"words[i+{j}]" if j else "words[i]" for j in range(n)

@@ -178,6 +178,30 @@ WHERE d_gh.doc_id = m.doc_id
   AND len(list_intersect(d_gh.hs, bgl.bg)) = 0"""
 
 
+def _repetition_sql() -> str:
+    """Same repetition rules over the shared 2-gram hash CTE: dup-line
+    fraction via list_distinct on str_split lines, top-bigram fraction as
+    max occurrence count / total over the identical padded bigram hash
+    list, thresholds from dataprep (the parity source)."""
+    n = dataprep.REP_NGRAM
+    return f"""WITH {H.sql_gram_hashes_cte(n=n)}, l AS (
+  SELECT doc_id,
+         1 - (len(list_distinct(str_split(text, chr(10))))::DOUBLE
+              / len(str_split(text, chr(10)))::DOUBLE) AS dup_line_frac
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         list_max(list_transform(list_distinct(hs),
+                  h -> len(list_filter(hs, x -> x = h))))::DOUBLE
+           / len(hs)::DOUBLE AS top_bigram_frac
+  FROM gh
+)
+SELECT l.doc_id, l.dup_line_frac, b.top_bigram_frac,
+       (l.dup_line_frac > {dataprep.REP_DUP_LINE_MAX!r}
+        OR b.top_bigram_frac > {dataprep.REP_TOP_NGRAM_MAX!r}) AS is_repetitive
+FROM l JOIN b ON l.doc_id = b.doc_id"""
+
+
 def _ann_lsh_sql(dim: int, k: int = 10) -> str:
     bucket = H.sql_lsh_bucket_expr("embedding", dim)
     qbucket = H.sql_lsh_bucket_expr("qv", dim)
@@ -435,6 +459,7 @@ LIMIT 10""",
         "docs_fingerprint": H.sql_fingerprint_select(),
         "corpus_prep": _corpus_prep_sql(),
         "docs_scrub": _scrub_sql(),
+        "docs_repetition": _repetition_sql(),
         "docs_sample_hash": _sample_hash_sql(),
         "docs_vocab_topk": _vocab_topk_sql(),
         "docs_decontaminate": _decontaminate_sql(),

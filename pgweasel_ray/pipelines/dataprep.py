@@ -1080,6 +1080,71 @@ def docs_length_quantiles(sf_dir: str,
     return pd.DataFrame(out, columns=["pct", "n_tokens"])
 
 
+# --- repetition signals (Gopher/MassiveText-style quality rules) --------------
+
+REP_NGRAM = 2                 # word bigrams for the top-n-gram fraction
+REP_DUP_LINE_MAX = 0.3        # Gopher: duplicate-line fraction threshold
+REP_TOP_NGRAM_MAX = 0.2       # Gopher: top-2-gram fraction threshold
+
+
+def _repetition(batch: pa.Table) -> pa.Table:
+    """Per-doc repetition signals, fully vectorized:
+
+    - ``dup_line_frac`` = 1 − distinct_lines/lines (polars list ops);
+    - ``top_bigram_frac`` = occurrences of the most frequent word bigram /
+      total bigrams (flat bigram hashes via the shared gram kernel, run
+      lengths by lexsort — no per-doc loop). Short docs use the same
+      GRAM_PAD padding as every gram operator (≥1 bigram per doc).
+    - ``is_repetitive`` = either fraction above its Gopher threshold.
+
+    Both fractions are one int/int float64 division — IEEE-identical to
+    the oracle's."""
+    import polars as pl
+
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    texts = text.to_pylist()
+    n_docs = len(texts)
+
+    lines = pl.Series(texts).str.split("\n")
+    n_lines = lines.list.len().to_numpy().astype(np.float64)
+    n_uniq = lines.list.n_unique().to_numpy().astype(np.float64)
+    dup_line_frac = 1.0 - n_uniq / n_lines
+
+    g, gd = H.gram_hash_flat(texts, n=REP_NGRAM)
+    order = np.lexsort((g, gd))
+    gs, gd = g[order], gd[order]
+    new_run = np.r_[True, (gs[1:] != gs[:-1]) | (gd[1:] != gd[:-1])]
+    run_starts = np.flatnonzero(new_run)
+    run_doc = gd[run_starts]
+    run_len = np.diff(np.r_[run_starts, len(gs)])
+    total = np.bincount(gd, minlength=n_docs)          # ≥1 per doc (padding)
+    doc_bounds = np.flatnonzero(np.r_[True, run_doc[1:] != run_doc[:-1]])
+    max_run = np.maximum.reduceat(run_len, doc_bounds)
+    top_bigram_frac = max_run.astype(np.float64) / total.astype(np.float64)
+
+    rep = (dup_line_frac > REP_DUP_LINE_MAX) | (top_bigram_frac > REP_TOP_NGRAM_MAX)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "dup_line_frac": pa.array(dup_line_frac, type=pa.float64()),
+            "top_bigram_frac": pa.array(top_bigram_frac, type=pa.float64()),
+            "is_repetitive": pa.array(rep, type=pa.bool_()),
+        }
+    )
+
+
+def docs_repetition(sf_dir: str) -> Dataset:
+    """Repetition quality signals (the Gopher/MassiveText repetition rules a
+    corpus pipeline applies alongside the length/stopword filter):
+    duplicate-line fraction and most-frequent-bigram fraction per document,
+    plus the combined threshold flag."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _repetition, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # --- PII / URL scrubbing ------------------------------------------------------
 
 # applied IN ORDER (URLs first so their embedded user@host parts never

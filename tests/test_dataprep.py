@@ -252,6 +252,30 @@ def test_decontaminate_crafted(tmp_path):
     assert got == [10, 11]  # 12 shares the "the secret benchmark" shingles
 
 
+def test_repetition_crafted(tmp_path):
+    texts = [
+        "same line\nsame line\nsame line\nunique line",  # dup lines
+        "spam spam spam spam spam spam",                  # one bigram only
+        "a perfectly normal sentence with varied words and no repeats",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = to_df(dataprep.docs_repetition(str(tmp_path))).set_index("doc_id")
+    assert got.loc[0, "dup_line_frac"] == 0.5  # 2 distinct of 4 lines
+    assert got.loc[0, "is_repetitive"]
+    assert got.loc[1, "top_bigram_frac"] == 1.0
+    assert got.loc[1, "is_repetitive"]
+    assert not got.loc[2, "is_repetitive"]
+
+
 def test_corpus_prep_ds_sink_matches_collected(sf_dir, tmp_path):
     """The corpus-scale path: corpus_prep_ds returns a lazy Dataset whose
     parquet sink holds exactly the ids the query contract collects — the

@@ -80,6 +80,7 @@ def _assert_matches_oracle(random_dir, oracle_con, name, fn):
         "docs_lang_id": oracle_queries._lang_id_sql,
         "docs_vocab_topk": oracle_queries._vocab_topk_sql,
         "docs_decontaminate": oracle_queries._decontaminate_sql,
+        "docs_repetition": oracle_queries._repetition_sql,
         "docs_sample_hash": oracle_queries._sample_hash_sql,
         "corpus_prep": oracle_queries._corpus_prep_sql,
         "docs_length_quantiles": oracle_queries._length_quantiles_sql,
@@ -101,6 +102,7 @@ def _assert_matches_oracle(random_dir, oracle_con, name, fn):
         ("docs_lang_id", dataprep.docs_lang_id),
         ("docs_vocab_topk", dataprep.docs_vocab_topk),
         ("docs_decontaminate", dataprep.docs_decontaminate),
+        ("docs_repetition", dataprep.docs_repetition),
         ("docs_sample_hash", dataprep.docs_sample_hash),
         ("corpus_prep", dataprep.corpus_prep),
         ("docs_length_quantiles", dataprep.docs_length_quantiles),
