@@ -262,10 +262,16 @@ def _route_shard_compact(shard_files: list[str], shard_dir: Path,
     frag_root.mkdir(parents=True)
 
     ds = _parsed_enriched(shard_files, enrich, role_ref, tool_ref, n_cpus)
-    written = ds.map_batches(
-        _write_fragments, batch_format="pyarrow", zero_copy_batch=True,
-        fn_kwargs={"frag_root": str(frag_root)},
-    ).sum("n")  # drive phase A to completion; exact row count written
+    # drive phase A to completion; exact row count written. take_all() is
+    # one tiny row per map block — summing on the driver skips the whole
+    # distributed-aggregate stage a .sum("n") would spin up.
+    written = sum(
+        r["n"]
+        for r in ds.map_batches(
+            _write_fragments, batch_format="pyarrow", zero_copy_batch=True,
+            fn_kwargs={"frag_root": str(frag_root)},
+        ).take_all()
+    )
 
     rel_dirs = sorted(
         str(p.relative_to(frag_root))
@@ -285,22 +291,33 @@ def _route_shard_compact(shard_files: list[str], shard_dir: Path,
 
 def _write_fragments(batch: pa.Table, frag_root: str) -> pa.Table:
     """Split one parsed block by (severity, tool) and write hive fragment
-    files. The batch is sorted FIRST, so every fragment is internally
-    (conv_id, turn_idx)-sorted — the compactor k-way-merges instead of
-    re-sorting. Fragment names are a CONTENT hash of the batch's key
-    columns, not a uuid: Ray map tasks are at-least-once, and a task that
-    wrote some fragments then died is re-executed on the same lineage
-    block — deterministic names make the retry overwrite its own files
-    instead of duplicating rows under fresh names."""
-    import polars as pl
+    files. The batch is sorted FIRST by (conv_id, turn_idx) ONLY — the
+    partition keys need no sorting because write_dataset's hive split
+    preserves within-partition row order (asserted in test_router) — so
+    every fragment is internally sorted and the compactor k-way-merges
+    instead of re-sorting. Fragment names are a deterministic ID, not a
+    uuid: Ray map tasks are at-least-once, and a task that wrote some
+    fragments then died is re-executed on the same lineage block —
+    deterministic names make the retry overwrite its own files instead of
+    duplicating rows under fresh names. (conv_id, turn_idx) is unique
+    across the dataset and blocks are disjoint row sets, so the sorted
+    block's FIRST key + row count already identifies the block — an O(1)
+    name (the previous full-row content hash cost ~17 ms/block)."""
+    import hashlib
+
     import pyarrow.dataset as pads
 
-    batch = _local_sort(batch)
-    h = np.bitwise_xor.reduce(
-        pl.from_arrow(batch.select(["conv_id", "turn_idx"]))
-        .hash_rows(seed=0)
-        .to_numpy()
-    ) if batch.num_rows else np.uint64(0)
+    batch = batch.sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    if batch.num_rows:
+        key0 = (f"{batch['conv_id'][0].as_py()}|"
+                f"{batch['turn_idx'][0].as_py()}|{batch.num_rows}")
+        h = int.from_bytes(
+            hashlib.blake2b(key0.encode(), digest_size=8).digest(), "big"
+        )
+    else:
+        h = 0
     part = pads.partitioning(
         pa.schema([("severity", pa.string()), ("tool", pa.string())]),
         flavor="hive",
