@@ -121,9 +121,21 @@ def kv_column(text: pa.Array, field: str) -> pa.Array:
 
 # --- sqlstate ----------------------------------------------------------------
 
-def sqlstate_column(text: pa.Array) -> pa.Array:
+# csvlog field 13 (1-based) IS PostgreSQL's sql_state_code column
+# (runtime-config-logging docs); 12 fields+commas, then the bare 5-char
+# code (never quoted). The reference itself never reads it (csv.rs only
+# extracts field 14) — exact csv SQLSTATE is a documented improvement.
+_CSV_F13_PATTERN = (
+    "^" + (_CSV_FIELD + ",") * 12 + r"(?P<c>[0-9A-Z]{5}),"
+)
+
+
+def sqlstate_column(text: pa.Array, fmt: str = "plain") -> pa.Array:
+    """Plain: first parenthesized 5-char upper-alnum token (our in-text
+    convention, patterns.py). Csv: the real sql_state_code column."""
     text = _as_array(text)
-    ext = pc.extract_regex(text, patterns.SQLSTATE_PATTERN)
+    pattern = _CSV_F13_PATTERN if fmt == "csv" else patterns.SQLSTATE_PATTERN
+    ext = pc.extract_regex(text, pattern)
     return pc.struct_field(ext, "c")
 
 
@@ -238,9 +250,9 @@ def parse_table(
     ``fmt``: "plain" (default), "csv", or "auto" — auto splits the batch on
     the ``tool`` column ("csv" rows use the csv severity/message kernels;
     everything else plain), which is how raw-log-ingested datasets carry the
-    reference's per-file Format (format/mod.rs:12-21). Only severity and
-    message are format-sensitive; duration/kv/filters scan the whole record
-    in both formats (duration.rs:5, format/mod.rs:53, filters/*).
+    reference's per-file Format (format/mod.rs:12-21). Severity, message
+    and sqlstate are format-sensitive; duration/kv/filters scan the whole
+    record in both formats (duration.rs:5, format/mod.rs:53, filters/*).
     """
     groups = tuple(PARSE_GROUPS) if groups is None else groups
     if fmt == "auto" and "tool" in batch.column_names:
@@ -274,7 +286,7 @@ def parse_table(
     if need_event:
         cols["event"], cols["ssl"] = event_columns(text, severity_name, message)
     if "sqlstate" in groups:
-        cols["sqlstate"] = sqlstate_column(text)
+        cols["sqlstate"] = sqlstate_column(text, fmt)
     if "locks" in groups:
         cols["is_lock"] = locking_mask(text)
     if "system" in groups:

@@ -270,3 +270,48 @@ class TestSqlstate:
             pa.array(["ERROR:  bad (23503) thing", "no code", "x (40P01) y"])
         ).to_pylist()
         assert got == ["23503", None, "40P01"]
+
+    def test_csv_field13_exact(self):
+        # csv format reads the real sql_state_code column (field 13), not
+        # the in-text heuristic — including when the message text contains
+        # a DIFFERENT parenthesized code.
+        rows = [
+            # normal error row: f13=23505, message mentions (99999)
+            '2025-05-08 12:24:37.731 EEST,"postgres","postgres",123,'
+            '"[local]",681c6f94.7b,3,"INSERT",2025-05-08 12:24:00 EEST,'
+            '3/15,0,ERROR,23505,"duplicate key (99999) in index",,,,,,'
+            '"INSERT INTO t VALUES (1)",,,"psql","client backend",,0',
+            # quoted field with embedded comma before f13 still aligns
+            '2025-05-08 12:24:38.000 EEST,"pg","db",124,"[local]",s.1,4,'
+            '"SELECT, WITH",2025-05-08 12:24:00 EEST,3/16,0,LOG,00000,'
+            '"ok",,,,,,,,,"app",,,0',
+            # too few fields → null
+            "2025-05-08 12:24:39.000 EEST,only,three",
+        ]
+        got = kernels.sqlstate_column(pa.array(rows), fmt="csv").to_pylist()
+        assert got == ["23505", "00000", None]
+        # the plain heuristic on the same rows would have said 99999
+        heur = kernels.sqlstate_column(pa.array(rows)).to_pylist()
+        assert heur[0] == "99999"
+
+    def test_csv_against_reference_corpus(self):
+        """Every record of the reference's csvlogs: our csv extraction
+        equals csv.reader's field 13."""
+        import csv
+        import io
+        from pathlib import Path
+
+        from pgweasel_ray.sources.rawlog import split_records
+
+        for name in ("csvlog1.csv", "csvlog_pg12.csv", "csvlog_pg14.csv"):
+            p = Path("/root/reference/testdata") / name
+            if not p.exists():
+                pytest.skip("reference testdata not available")
+            recs = [r.decode() for r in split_records(p.read_bytes())]
+            got = kernels.sqlstate_column(
+                pa.array(recs), fmt="csv"
+            ).to_pylist()
+            for rec, code in zip(recs, got):
+                row = next(csv.reader(io.StringIO(rec)))
+                want = row[12] if len(row) >= 14 else None
+                assert code == want, rec[:80]
