@@ -97,6 +97,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_topk": dataprep.docs_vocab_topk,
         "docs_decontaminate": dataprep.docs_decontaminate,
         "docs_length_quantiles": dataprep.docs_length_quantiles,
+        "docs_normalize": dataprep.docs_normalize,
+        "dedup_chunks": dataprep.dedup_chunks,
+        "docs_shuffle_order": dataprep.docs_shuffle_order,
+        "docs_pack_sequences": dataprep.docs_pack_sequences,
         "ann_cosine_topk": dataprep.ann_cosine_topk,
         "ann_lsh_topk": dataprep.ann_lsh_topk,
         "ann_ivf_topk": dataprep.ann_ivf_topk,

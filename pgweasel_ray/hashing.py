@@ -65,6 +65,14 @@ JC_DEN = 10
 SAMPLE_A = 1103515245          # affine sampling hash: ((id % P)*A + B) % P
 SAMPLE_B = 12345
 
+# --- deterministic training-order shuffle --------------------------------------
+# Distinct affine constants from SAMPLE_* so sampling and shuffling are
+# independent permutations; A coprime with the prime P ⇒ the key map is a
+# BIJECTION on [0, P), so every doc gets a unique shuffle key (no ties for
+# doc_id < P; ties beyond P broken by doc_id).
+SHUF_A = 69069
+SHUF_B = 362437
+
 # --- ANN constants ------------------------------------------------------------
 LSH_N_PLANES = 8
 LSH_SEED = 777

@@ -202,6 +202,69 @@ SELECT l.doc_id, l.dup_line_frac, b.top_bigram_frac,
 FROM l JOIN b ON l.doc_id = b.doc_id"""
 
 
+def _normalize_sql() -> str:
+    """Same three-step cleanup as dataprep._normalize over the shared RE2
+    whitespace class (NORM_WS_PATTERN is the parity source)."""
+    ws = dataprep.NORM_WS_PATTERN
+    return f"""WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '{ws}', ' ', 'g'), ' ')
+           AS text_norm
+  FROM documents
+)
+SELECT doc_id, text_norm, length(text_norm)::BIGINT AS n_chars FROM n"""
+
+
+def _dedup_chunks_sql() -> str:
+    """Chunk-level exact dedup replayed literally: tokenize, window into
+    CHUNK_WORDS-word chunks, keep min packed (doc_id, chunk_idx) per
+    distinct chunk string. The pipeline groups by the 128-bit chunk hash
+    instead of the string — identical survivors modulo 2^-128 collisions
+    (the same equivalence dedup_exact's oracle relies on)."""
+    cw = dataprep.CHUNK_WORDS
+    mod = 1 << dataprep.CHUNK_IDX_BITS
+    sep = ord(H.GRAM_SEP)
+    return rf"""WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[^\t\n\f\r ]+') AS ws
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) - 1 AS widx
+  FROM t
+), ch AS (
+  SELECT doc_id, widx // {cw} AS chunk_idx,
+         string_agg(word, chr({sep}) ORDER BY widx) AS chunk
+  FROM w GROUP BY doc_id, chunk_idx
+), m AS (
+  SELECT min(doc_id * {mod} + chunk_idx) AS keep FROM ch GROUP BY chunk
+)
+SELECT keep // {mod} AS doc_id, keep % {mod} AS chunk_idx FROM m"""
+
+
+def _shuffle_order_sql() -> str:
+    return f"""WITH k AS (
+  SELECT doc_id,
+         ((doc_id % {H.P}) * {H.SHUF_A} + {H.SHUF_B}) % {H.P} AS key
+  FROM documents
+)
+SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) - 1 AS pos FROM k"""
+
+
+def _pack_sequences_sql() -> str:
+    cap = dataprep.PACK_SEQ_TOKENS
+    return rf"""WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+  FROM t
+)
+SELECT strt // {cap} AS seq_id, count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS n_tokens
+FROM s GROUP BY seq_id"""
+
+
 def _ann_lsh_sql(dim: int, k: int = 10) -> str:
     bucket = H.sql_lsh_bucket_expr("embedding", dim)
     qbucket = H.sql_lsh_bucket_expr("qv", dim)
@@ -464,6 +527,10 @@ LIMIT 10""",
         "docs_vocab_topk": _vocab_topk_sql(),
         "docs_decontaminate": _decontaminate_sql(),
         "docs_length_quantiles": _length_quantiles_sql(),
+        "docs_normalize": _normalize_sql(),
+        "dedup_chunks": _dedup_chunks_sql(),
+        "docs_shuffle_order": _shuffle_order_sql(),
+        "docs_pack_sequences": _pack_sequences_sql(),
         "ann_lsh_topk": _ann_lsh_sql(dataprep._embedding_dim(sf_dir)),
         "ann_ivf_topk": _ann_ivf_sql(sf_dir),
         "embed_neardup": _embed_neardup_sql(dataprep._embedding_dim(sf_dir)),

@@ -1342,3 +1342,264 @@ def _emb_dom_block(batch: pa.Table, threshold: float) -> pa.Table:
     out = (np.unique(np.concatenate(dominated)) if dominated
            else np.empty(0, np.int64))
     return pa.table({"vec_id": pa.array(out, type=pa.int64())})
+
+
+# --- text normalization ------------------------------------------------------
+
+# ASCII whitespace runs; identical byte class to RE2's \s (tab, newline,
+# formfeed, carriage return, space), spelled out so the polars (Rust regex)
+# and DuckDB (RE2) twins match char-for-char.
+NORM_WS_PATTERN = r"[\t\n\f\r ]+"
+
+
+def _normalize(batch: pa.Table) -> pa.Table:
+    """Lowercase, collapse whitespace runs to single spaces, trim — the
+    standard pre-tokenization cleanup pass. All three steps are Arrow
+    compute kernels (zero Python per row); the DuckDB oracle chains
+    lower/regexp_replace('g')/trim over the same RE2 class. Unicode
+    lowercasing agrees between Arrow and DuckDB on the ASCII corpus the
+    fixtures generate (documented assumption, as for vocab/grams)."""
+    t = pc.utf8_lower(batch["text"])
+    t = pc.replace_substring_regex(t, NORM_WS_PATTERN, " ")
+    t = pc.utf8_trim(t, " ")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "text_norm": t,
+            "n_chars": pc.cast(pc.utf8_length(t), pa.int64()),
+        }
+    )
+
+
+def docs_normalize(sf_dir: str) -> Dataset:
+    """Normalized text per document (lower + whitespace collapse + trim)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _normalize, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# --- chunk-level exact dedup (ExactSubstr approximation) ---------------------
+
+CHUNK_WORDS = 16          # non-overlapping word window per chunk
+CHUNK_IDX_BITS = 20       # packed id = doc_id << 20 | chunk_idx
+#   20 bits caps docs at ~16M words (2^20 chunks x 16 words); with doc_id
+#   up to 10^12 the packed key stays < 2^60 — inside int64 at full corpus
+#   scale. (A 16M-word document would be pathological upstream anyway.)
+
+
+def _chunk_rows(batch: pa.Table) -> pa.Table:
+    """doc → one row per non-overlapping CHUNK_WORDS-word chunk, carrying
+    the 128-bit chunk-content hash and the packed (doc_id, chunk_idx) key.
+    Whole kernel runs in polars (Rust): extract_all → explode → window
+    cumcount → group-join. The shuffle downstream moves 24-byte hash keys,
+    never chunk text (same design as exact dedup; the oracle groups by the
+    chunk STRING, which is equivalent modulo 2^-128 collisions)."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    ex = (
+        df.with_columns(
+            pl.col("text").str.to_lowercase()
+            .str.extract_all(r"[^\t\n\f\r ]+").alias("w")
+        )
+        .drop("text")
+        .explode("w")
+        .filter(pl.col("w").is_not_null())
+        .with_columns(
+            (pl.int_range(pl.len()).over("doc_id") // CHUNK_WORDS)
+            .alias("chunk_idx")
+        )
+    )
+    chunks = ex.group_by(["doc_id", "chunk_idx"]).agg(
+        pl.col("w").str.join(H.GRAM_SEP).alias("chunk")
+    )
+    packed = (
+        chunks["doc_id"].to_numpy() * np.int64(1 << CHUNK_IDX_BITS)
+        + chunks["chunk_idx"].to_numpy()
+    )
+    return pa.table(
+        {
+            "h1": pa.array(
+                chunks["chunk"].hash(seed=1).to_numpy().view(np.int64),
+                type=pa.int64(),
+            ),
+            "h2": pa.array(
+                chunks["chunk"].hash(seed=2).to_numpy().view(np.int64),
+                type=pa.int64(),
+            ),
+            "packed": pa.array(packed, type=pa.int64()),
+        }
+    )
+
+
+def _unpack_chunk_ids(batch: pa.Table) -> pa.Table:
+    keep = batch["keep"]
+    return pa.table(
+        {
+            "doc_id": pc.cast(
+                pc.shift_right(keep, CHUNK_IDX_BITS), pa.int64()
+            ),
+            "chunk_idx": pc.cast(
+                pc.bit_wise_and(keep, (1 << CHUNK_IDX_BITS) - 1), pa.int64()
+            ),
+        }
+    )
+
+
+def dedup_chunks(sf_dir: str) -> Dataset:
+    """Chunk-level exact dedup — the scalable approximation of
+    suffix-array ExactSubstr dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): split every document into
+    non-overlapping CHUNK_WORDS-word chunks, keep ONE copy of each
+    distinct chunk corpus-wide (the smallest (doc_id, chunk_idx)).
+    Returns the surviving (doc_id, chunk_idx) pairs.
+
+    Scale shape: explode is map-only; the one shuffle groups 24-byte
+    (h1, h2) chunk hashes with a Min aggregate over the packed id — no
+    text moves, no joins, survivors decode arithmetically from the Min."""
+    chunks = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _chunk_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    mins = chunks.groupby(["h1", "h2"]).aggregate(
+        Min("packed", alias_name="keep")
+    )
+    return mins.map_batches(
+        _unpack_chunk_ids, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# --- ordered offsets (distributed zipWithIndex) ------------------------------
+
+def _with_global_offsets(ds: Dataset, partial_fn, apply_fn):
+    """Two-phase ordered prefix-sum over a (sorted) Dataset's blocks — the
+    distributed zipWithIndex pattern. Ray Data's Dataset API has no ordered
+    block index, so this is one of the documented drop-to-raw-tasks cases:
+    phase 1 runs ``partial_fn(table) -> int`` on every block ref (only ONE
+    INT per block returns to the driver), the driver exclusive-cumsums that
+    tiny vector, and phase 2 runs ``apply_fn(table, offset) -> table`` per
+    block. Blocks never leave the object store; `to_arrow_refs` hands out
+    zero-copy refs in dataset order (the upstream sort already materialized
+    the blocks, so no extra pass is paid)."""
+    import ray
+    import ray.data
+
+    refs = ds.to_arrow_refs()
+    part = ray.remote(num_cpus=0.5)(partial_fn)
+    partials = ray.get([part.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(partials)])[:-1]
+    app = ray.remote(num_cpus=0.5)(apply_fn)
+    return ray.data.from_arrow_refs(
+        [app.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    )
+
+
+# --- deterministic training-order shuffle ------------------------------------
+
+def _shuffle_key(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    key = ((ids % H.P) * H.SHUF_A + H.SHUF_B) % H.P
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "key": pa.array(key.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def _block_rows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+def _apply_row_offset(t: pa.Table, offset: int) -> pa.Table:
+    # a sort can emit schema-LESS empty blocks — re-type them concretely
+    if t.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "pos": pa.array([], type=pa.int64())}
+        )
+    pos = offset + np.arange(t.num_rows, dtype=np.int64)
+    return pa.table(
+        {"doc_id": t["doc_id"], "pos": pa.array(pos, type=pa.int64())}
+    )
+
+
+def docs_shuffle_order(sf_dir: str) -> Dataset:
+    """Deterministic training-order shuffle: every doc's position is the
+    rank of its affine shuffle key (a bijection on [0, P) — see
+    hashing.SHUF_A), so the order is reproducible across reruns,
+    partitionings and cluster sizes — the property a 100-TB training run
+    needs to resume mid-epoch. Distributed sort by (key, doc_id), then
+    global positions via the two-phase block-offset prefix sum (only one
+    int per block touches the driver)."""
+    keyed = _docs(sf_dir, ["doc_id"]).map_batches(
+        _shuffle_key, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ordered = keyed.sort(["key", "doc_id"])
+    return _with_global_offsets(ordered, _block_rows, _apply_row_offset)
+
+
+# --- sequence packing --------------------------------------------------------
+
+PACK_SEQ_TOKENS = 512     # training-sequence token capacity
+
+
+def _tok_counts(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tok": pc.cast(
+                pc.count_substring_regex(batch["text"], TOKEN_PATTERN),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def _block_tok_sum(t: pa.Table) -> int:
+    if t.num_rows == 0:  # schema-less empty sort block
+        return 0
+    return int(pc.sum(t["n_tok"]).as_py() or 0)
+
+
+def _apply_tok_offset(t: pa.Table, offset: int) -> pa.Table:
+    """seq_id per doc from the global token offset; returns the PER-BLOCK
+    (seq_id, n_docs, n_tokens) partial aggregate (a sequence split across
+    two blocks is folded by the final tiny groupby)."""
+    if t.num_rows == 0:  # schema-less empty sort block
+        return pa.table(
+            {"seq_id": pa.array([], type=pa.int64()),
+             "n_tokens": pa.array([], type=pa.int64()),
+             "n_docs": pa.array([], type=pa.int64())}
+        )
+    n = t["n_tok"].to_numpy(zero_copy_only=False)
+    start = offset + np.cumsum(n) - n
+    seq = (start // PACK_SEQ_TOKENS).astype(np.int64)
+    part = pa.table(
+        {"seq_id": pa.array(seq, type=pa.int64()), "n_tok": t["n_tok"]}
+    ).group_by(["seq_id"]).aggregate([("n_tok", "sum"), ([], "count_all")])
+    return part.rename_columns(["seq_id", "n_tokens", "n_docs"])
+
+
+def docs_pack_sequences(sf_dir: str) -> Dataset:
+    """Greedy concat-then-chunk sequence packing: documents in doc_id order
+    are laid end-to-end on a global token axis; a doc belongs to the
+    PACK_SEQ_TOKENS-token window its first token lands in. Output: per
+    sequence, how many docs start in it and their total token count — the
+    shape a packed-pretraining loader consumes.
+
+    Scale shape: token counts are a vectorized RE2 map; the doc_id sort
+    moves only (doc_id, n_tok) rows; global token offsets use the same
+    two-phase block prefix sum as the shuffle (one int per block to the
+    driver); the final fold is a tiny grouped sum over per-block partials."""
+    counts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _tok_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ordered = counts.sort("doc_id")
+    partials = _with_global_offsets(ordered, _block_tok_sum,
+                                    _apply_tok_offset)
+    from ray.data.aggregate import Sum
+
+    return partials.groupby("seq_id").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_tokens", alias_name="n_tokens"),
+    )

@@ -388,3 +388,103 @@ def test_token_stats_matches_python(sf_dir):
     for doc_id, row in sample.iterrows():
         assert got.loc[doc_id, "n_tokens"] == len(row["text"].split())
         assert got.loc[doc_id, "n_chars"] == len(row["text"])
+
+
+def _docs_table(texts):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+        }
+    )
+
+
+def test_normalize_crafted(tmp_path):
+    texts = [
+        "  Hello\t\tWORLD  ",
+        "one\ntwo\r\nthree\f four",
+        "",
+        "already clean",
+    ]
+    pq.write_table(_docs_table(texts), tmp_path / "documents.parquet")
+    got = to_df(dataprep.docs_normalize(str(tmp_path))).set_index("doc_id")
+    assert got.loc[0, "text_norm"] == "hello world"
+    assert got.loc[1, "text_norm"] == "one two three four"
+    assert got.loc[2, "text_norm"] == ""
+    assert got.loc[3, "text_norm"] == "already clean"
+    assert got.loc[1, "n_chars"] == len("one two three four")
+
+
+def test_dedup_chunks_crafted(tmp_path):
+    cw = dataprep.CHUNK_WORDS
+    base = [f"w{i}" for i in range(cw)]          # one full chunk
+    tail = ["x", "y", "z"]                        # one partial chunk
+    texts = [
+        " ".join(base + tail),        # doc 0: chunks (0,0) and (0,1)
+        " ".join(base),               # doc 1: chunk == doc 0's chunk 0 → dup
+        " ".join(tail),               # doc 2: chunk != (x y z is its chunk 0,
+                                      #          same words as doc 0 chunk 1)
+        "",                           # doc 3: no tokens → no chunks
+    ]
+    pq.write_table(_docs_table(texts), tmp_path / "documents.parquet")
+    got = to_df(dataprep.dedup_chunks(str(tmp_path)))
+    kept = set(map(tuple, got[["doc_id", "chunk_idx"]].values))
+    # doc1's only chunk is a copy of (0,0); doc2's chunk TEXT equals doc0's
+    # partial chunk 1 ("x y z"), so it is deduped against (0,1) as well
+    assert kept == {(0, 0), (0, 1)}
+
+
+def test_shuffle_order_is_permutation_and_deterministic(sf_dir):
+    got = to_df(dataprep.docs_shuffle_order(sf_dir)).sort_values("pos")
+    n = len(got)
+    assert list(got["pos"]) == list(range(n))
+    # rank of the affine key, recomputed in numpy
+    import numpy as np
+
+    from pgweasel_ray import hashing as H
+
+    ids = np.sort(got["doc_id"].to_numpy())
+    key = ((ids % H.P) * H.SHUF_A + H.SHUF_B) % H.P
+    order = np.lexsort((ids, key))
+    want = {int(d): p for p, d in enumerate(ids[order])}
+    for doc_id, pos in zip(got["doc_id"], got["pos"]):
+        assert want[int(doc_id)] == int(pos)
+    again = to_df(dataprep.docs_shuffle_order(sf_dir)).sort_values("pos")
+    assert list(again["doc_id"]) == list(got["doc_id"])
+
+
+def test_pack_sequences_crafted(tmp_path):
+    cap = dataprep.PACK_SEQ_TOKENS
+    # doc0: cap-1 tokens (seq 0), doc1: 2 tokens starting at cap-1 (seq 0,
+    # straddles into seq 1), doc2: starts at cap+1 (seq 2 would be wrong —
+    # floor((cap+1)/cap) = 1), doc3: empty (0 tokens, starts seq 1 too)
+    texts = [
+        " ".join(["a"] * (cap - 1)),
+        "b c",
+        "d",
+        "",
+    ]
+    pq.write_table(_docs_table(texts), tmp_path / "documents.parquet")
+    got = to_df(dataprep.docs_pack_sequences(str(tmp_path))).set_index("seq_id")
+    assert got.loc[0, "n_docs"] == 2 and got.loc[0, "n_tokens"] == cap + 1
+    assert got.loc[1, "n_docs"] == 2 and got.loc[1, "n_tokens"] == 1
+    assert int(got["n_tokens"].sum()) == cap + 2
+
+
+def test_with_global_offsets_multi_block():
+    import ray.data
+
+    tables = [
+        pa.table({"doc_id": pa.array(r, type=pa.int64())})
+        for r in ([0, 1, 2], [3], [], [4, 5])
+    ]
+    ds = ray.data.from_arrow(tables)
+    out = dataprep._with_global_offsets(
+        ds, dataprep._block_rows, dataprep._apply_row_offset
+    )
+    df = to_df(out).sort_values("doc_id")
+    # block-local arange + exclusive block prefix sum == global 0..n-1
+    assert list(df["pos"]) == [0, 1, 2, 3, 4, 5]

@@ -84,6 +84,10 @@ def _assert_matches_oracle(random_dir, oracle_con, name, fn):
         "docs_sample_hash": oracle_queries._sample_hash_sql,
         "corpus_prep": oracle_queries._corpus_prep_sql,
         "docs_length_quantiles": oracle_queries._length_quantiles_sql,
+        "docs_normalize": oracle_queries._normalize_sql,
+        "dedup_chunks": oracle_queries._dedup_chunks_sql,
+        "docs_shuffle_order": oracle_queries._shuffle_order_sql,
+        "docs_pack_sequences": oracle_queries._pack_sequences_sql,
     }[name]()
     ray_df = to_df(fn(random_dir))
     ora_df = oracle_con.sql(sql).df()
@@ -106,6 +110,10 @@ def _assert_matches_oracle(random_dir, oracle_con, name, fn):
         ("docs_sample_hash", dataprep.docs_sample_hash),
         ("corpus_prep", dataprep.corpus_prep),
         ("docs_length_quantiles", dataprep.docs_length_quantiles),
+        ("docs_normalize", dataprep.docs_normalize),
+        ("dedup_chunks", dataprep.dedup_chunks),
+        ("docs_shuffle_order", dataprep.docs_shuffle_order),
+        ("docs_pack_sequences", dataprep.docs_pack_sequences),
     ],
 )
 def test_random_corpus_matches_oracle(random_dir, oracle_con, name, fn):
