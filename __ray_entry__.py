@@ -32,7 +32,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from pgweasel_ray.pipelines import core, dataprep, events, router, windows
+    from pgweasel_ray.pipelines import (core, dataprep, events, export,
+                                        router, windows)
 
     return {
         # pgweasel parity — errors family (SURVEY §2.3 F1, §2.4 A1/A2, §3.1)
@@ -101,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_chunks": dataprep.dedup_chunks,
         "docs_shuffle_order": dataprep.docs_shuffle_order,
         "docs_pack_sequences": dataprep.docs_pack_sequences,
+        "corpus_export_counts": export.corpus_export_counts,
         "ann_cosine_topk": dataprep.ann_cosine_topk,
         "ann_lsh_topk": dataprep.ann_lsh_topk,
         "ann_ivf_topk": dataprep.ann_ivf_topk,

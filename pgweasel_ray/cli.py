@@ -84,7 +84,7 @@ def normalize_argv(argv: list[str]) -> list[str]:
         mapped = ALIASES.get(tok, tok)
         if seen_command is None and mapped in (
             "errors", "locks", "system", "connections", "slow", "route",
-            "peaks", "stats"
+            "peaks", "stats", "export"
         ):
             seen_command = mapped
             out.append(mapped)
@@ -204,6 +204,18 @@ def build_parser() -> argparse.ArgumentParser:
                        help="'file' = one shard per input file keyed by "
                             "name (incremental ingest: reruns build only "
                             "newly arrived files)")
+
+    export = sp.add_parser(
+        "export",
+        description="Run the corpus-prep recipe (quality filter → exact "
+                    "dedup → MinHash near-dedup → decontamination) over a "
+                    "documents table and write the survivors as "
+                    "globally-shuffle-ordered training shards",
+    )
+    export.add_argument("input", help="directory containing documents.parquet")
+    export.add_argument("--out", required=True)
+    export.add_argument("--shards", type=int, default=None,
+                        help="number of ordered range-partitioned shards")
     return p
 
 
@@ -280,7 +292,7 @@ def main(argv: list[str] | None = None) -> int:
     executed = None  # the pipeline whose operator stats --debug reports
 
     begin, end, mask = _resolve_time(args.begin), _resolve_time(args.end), args.mask
-    inp = _input(args)
+    inp = _input(args) if hasattr(args, "paths") else args.input
     timer.mark("resolve input")
 
     def floor(default_rank: int) -> int:
@@ -401,6 +413,21 @@ def main(argv: list[str] | None = None) -> int:
             for key, e in sorted(manifest.entries.items()):
                 print(f"[debug] {key}: rows={e.get('rows')} "
                       f"wall={e.get('wall_s', 0):.3f}s", file=sys.stderr)
+
+    elif args.command == "export":
+        from .pipelines import export as export_mod
+
+        kwargs = {}
+        if args.shards:
+            kwargs["num_shards"] = args.shards
+        manifest = export_mod.corpus_export(args.input, args.out, **kwargs)
+        print(f"exported {manifest.total_rows()} docs into "
+              f"{len(manifest.entries)} ordered shards under {args.out}")
+        if args.debug:
+            for key, e in sorted(manifest.entries.items()):
+                print(f"[debug] {key}: rows={e.get('rows')} "
+                      f"keys=[{e.get('key_min')}, {e.get('key_max')}]",
+                      file=sys.stderr)
 
     timer.mark("build+execute+render")
     timer.stats(executed)

@@ -69,9 +69,12 @@ SAMPLE_B = 12345
 # Distinct affine constants from SAMPLE_* so sampling and shuffling are
 # independent permutations; A coprime with the prime P ⇒ the key map is a
 # BIJECTION on [0, P), so every doc gets a unique shuffle key (no ties for
-# doc_id < P; ties beyond P broken by doc_id).
-SHUF_A = 69069
-SHUF_B = 362437
+# doc_id < P; ties beyond P broken by doc_id). A must be LARGE (≈ P scale):
+# a small multiplier leaves consecutive small ids un-wrapped (key = A*i + B
+# monotone ⇒ no shuffle at all below id ~P/A, and range-partitioned export
+# shards collapse into one).
+SHUF_A = 1588635695
+SHUF_B = 1203793753
 
 # --- ANN constants ------------------------------------------------------------
 LSH_N_PLANES = 8

@@ -265,6 +265,22 @@ SELECT strt // {cap} AS seq_id, count(*)::BIGINT AS n_docs,
 FROM s GROUP BY seq_id"""
 
 
+def _corpus_export_counts_sql() -> str:
+    """Per-shard row counts of the exported corpus: the corpus_prep
+    survivor chain (same chained CTE) bucketed by the affine shuffle key's
+    range partition — validates the written shard files end to end."""
+    from .pipelines.export import EXPORT_SHARDS
+
+    return f"""WITH cp AS ({_corpus_prep_sql()}),
+k AS (
+  SELECT doc_id,
+         ((doc_id % {H.P}) * {H.SHUF_A} + {H.SHUF_B}) % {H.P} AS key
+  FROM cp
+)
+SELECT (key * {EXPORT_SHARDS}) // {H.P} AS shard, count(*)::BIGINT AS cnt
+FROM k GROUP BY shard ORDER BY shard"""
+
+
 def _ann_lsh_sql(dim: int, k: int = 10) -> str:
     bucket = H.sql_lsh_bucket_expr("embedding", dim)
     qbucket = H.sql_lsh_bucket_expr("qv", dim)
@@ -531,6 +547,7 @@ LIMIT 10""",
         "dedup_chunks": _dedup_chunks_sql(),
         "docs_shuffle_order": _shuffle_order_sql(),
         "docs_pack_sequences": _pack_sequences_sql(),
+        "corpus_export_counts": _corpus_export_counts_sql(),
         "ann_lsh_topk": _ann_lsh_sql(dataprep._embedding_dim(sf_dir)),
         "ann_ivf_topk": _ann_ivf_sql(sf_dir),
         "embed_neardup": _embed_neardup_sql(dataprep._embedding_dim(sf_dir)),

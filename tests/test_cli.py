@@ -76,3 +76,17 @@ def test_cli_end_to_end_list(sf_dir, capsys):
     out = capsys.readouterr().out
     assert "FATAL:" in out
     assert "ERROR:" not in out.replace("FATAL:", "")  # floor respected
+
+
+def test_cli_export_training_shards(sf_dir, capsys, tmp_path):
+    rc = main(["-d", "export", sf_dir, "--out", str(tmp_path / "exp"),
+               "--shards", "4"])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "ordered shards under" in cap.out
+    assert "[debug] shard=0: rows=" in cap.err
+    assert "keys=[" in cap.err
+    import pyarrow.parquet as pq
+
+    files = sorted((tmp_path / "exp").glob("shard=*/shard.parquet"))
+    assert files and sum(pq.read_metadata(f).num_rows for f in files) > 0
