@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic algorithm in DuckDB from shared hashing.py constants
         "dedup_exact": dataprep.dedup_exact,
         "dedup_minhash": dataprep.dedup_minhash,
+        "dedup_components": dataprep.dedup_components,
         "dedup_ngram_jaccard": dataprep.dedup_ngram_jaccard,
         "dedup_simhash": dataprep.dedup_simhash,
         "docs_token_stats": dataprep.docs_token_stats,

@@ -61,6 +61,27 @@ SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM dom)"""
 
 
+def _dedup_components_sql() -> str:
+    """Connected components of the SAME MinHash band-bucket candidate graph
+    the Ray pipeline builds (dataprep.dedup_components_ds): docs sharing any
+    (band, band_hash) bucket are adjacent; component_id = min doc_id
+    reachable. The recursive CTE enumerates (node, reachable-id) pairs and
+    folds with min — an independent transitive-closure formulation vs the
+    pipeline's iterative min-label propagation."""
+    return f"""WITH RECURSIVE {H.sql_minhash_bands_cte()}, edges AS (
+  SELECT DISTINCT b1.doc_id AS node, b2.doc_id AS nbr
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.band_hash = b2.band_hash
+   AND b1.doc_id <> b2.doc_id
+), reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT e.node, reach.r FROM reach JOIN edges e ON e.nbr = reach.node
+)
+SELECT node AS doc_id, min(r) AS component_id
+FROM reach GROUP BY node ORDER BY doc_id"""
+
+
 def _dedup_jaccard_sql() -> str:
     """The ALL-PAIRS n-gram-Jaccard definition — an independent check that
     the Ray pipeline's prefix filter has exact recall. Integer threshold:
@@ -532,6 +553,7 @@ LIMIT 10""",
         # --- dedup / ANN / fingerprint: the deterministic algorithms
         # replayed in DuckDB from the shared hashing.py constants ---
         "dedup_minhash": _dedup_minhash_sql(),
+        "dedup_components": _dedup_components_sql(),
         "dedup_ngram_jaccard": _dedup_jaccard_sql(),
         "dedup_simhash": _dedup_simhash_sql(),
         "docs_lang_id": _lang_id_sql(),

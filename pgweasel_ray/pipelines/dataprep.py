@@ -1603,3 +1603,154 @@ def docs_pack_sequences(sf_dir: str) -> Dataset:
         Sum("n_docs", alias_name="n_docs"),
         Sum("n_tokens", alias_name="n_tokens"),
     )
+
+
+# --- near-dup connected components (duplicate CLUSTERS, not just survivors) --
+
+COMPONENTS_MAX_ITERS = 50
+
+
+def _star_edges_block(batch: pa.Table) -> pa.Table:
+    """Candidate-pair edges for one (band, band_hash)-exclusive partition:
+    every bucket of k members contributes k-1 STAR edges to its min id
+    (same connectivity as the full clique at linear cost), emitted in both
+    directions for the undirected propagation. Deduped within the
+    partition; the same pair surfacing from another band lands in another
+    partition and is kept — harmless for min-propagation, and deduping
+    globally would cost an extra shuffle."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {"node": pa.array([], type=pa.int64()),
+             "nbr": pa.array([], type=pa.int64())}
+        )
+    band = batch["band"].to_numpy(zero_copy_only=False)
+    bh = batch["band_hash"].to_numpy(zero_copy_only=False)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, bh, band))
+    band, bh, ids = band[order], bh[order], ids[order]
+    first = np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])]
+    bounds = np.flatnonzero(np.r_[first, True])
+    roots = np.repeat(ids[bounds[:-1]], np.diff(bounds))
+    mask = ids != roots
+    pairs = np.unique(np.stack([ids[mask], roots[mask]], axis=1), axis=0)
+    node = np.concatenate([pairs[:, 0], pairs[:, 1]])
+    nbr = np.concatenate([pairs[:, 1], pairs[:, 0]])
+    return pa.table(
+        {"node": pa.array(node, type=pa.int64()),
+         "nbr": pa.array(nbr, type=pa.int64())}
+    )
+
+
+def _min_with_node(batch: pa.Table) -> pa.Table:
+    lab = pc.min_element_wise(batch["node"], batch["label"])
+    return pa.table({"node": batch["node"], "label": lab})
+
+
+def _nbr_messages(batch: pa.Table) -> pa.Table:
+    return pa.table({"node": batch["nbr"], "label": batch["label"]})
+
+
+def _attach_components(batch: pa.Table, lab_ref) -> pa.Table:
+    import ray
+
+    nodes, labels = ray.get(lab_ref)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = np.searchsorted(nodes, ids)
+    pos = np.clip(pos, 0, max(0, len(nodes) - 1))
+    hit = (len(nodes) > 0) & (nodes[pos] == ids) if len(nodes) else \
+        np.zeros(len(ids), dtype=bool)
+    comp = np.where(hit, labels[pos] if len(nodes) else ids, ids)
+    return pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "component_id": pa.array(comp.astype(np.int64), type=pa.int64())}
+    )
+
+
+def dedup_components_ds(sf_dir: str) -> Dataset:
+    """Near-dup CLUSTERS: component_id = min doc_id of each connected
+    component of the MinHash candidate graph (docs sharing any LSH band
+    bucket are adjacent). Survivor-style dedup (dedup_minhash) removes
+    bucket-dominated docs; this computes the TRANSITIVE closure — A~B and
+    B~C cluster A,B,C together even when A and C share no bucket — which
+    is what near-dup AUDITING and cluster-aware sampling need.
+
+    Distributed shape (10^12-doc design):
+    - edges: star edges per bucket from the same keyed-block kernel as
+      dedup_minhash (linear in bucket sizes, never the clique);
+    - components: iterative min-label propagation — per iteration one
+      hash join (edges ⋈ labels on node: messages carry a neighbor's
+      label) and one grouped Min fold; iterations ≈ cluster diameter
+      (near-dup clusters are shallow; convergence detected by the
+      monotone label sum, capped at COMPONENTS_MAX_ITERS);
+    - only nodes touching an edge participate (the label set is the
+      candidate subgraph, far smaller than the corpus); the final
+      assignment broadcasts the converged labels and maps singletons to
+      themselves arithmetically.
+    """
+    import ray
+
+    band_rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"_cls": MinHashBandStage},
+    ).materialize()
+    edges = _keyed_blocks(
+        band_rows, ["band", "band_hash"], _star_edges_block
+    ).materialize()
+
+    docs_ids = _docs(sf_dir, ["doc_id"])
+    n_edges = edges.count()
+    if n_edges == 0:
+        return docs_ids.map_batches(
+            _attach_components, batch_format="pyarrow", zero_copy_batch=True,
+            fn_kwargs={"lab_ref": ray.put(
+                (np.empty(0, np.int64), np.empty(0, np.int64))
+            )},
+        )
+
+    # init: label(node) = min(node, min neighbor) — one fold, saves a round
+    labels = edges.groupby("node").aggregate(
+        Min("nbr", alias_name="label")
+    ).map_batches(
+        _min_with_node, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_nodes = labels.count()
+    prev = labels.sum("label")
+    for _ in range(COMPONENTS_MAX_ITERS):
+        msgs = edges.join(
+            labels, join_type="inner", on=("node",),
+            num_partitions=_join_partitions(n_nodes),
+        ).map_batches(
+            _nbr_messages, batch_format="pyarrow", zero_copy_batch=True
+        )
+        labels = labels.union(msgs).groupby("node").aggregate(
+            Min("label", alias_name="label")
+        ).materialize()
+        cur = labels.sum("label")
+        if cur == prev:   # monotone non-increasing int sum ⇒ fixpoint
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"dedup_components: no fixpoint in {COMPONENTS_MAX_ITERS} "
+            f"iterations (pathological candidate graph?)"
+        )
+
+    lab_df = labels.to_pandas()
+    # the converged label set covers only edge-touching nodes — broadcast
+    # it sorted for a vectorized searchsorted lookup; singletons fall
+    # through to component_id = doc_id. (At >BROADCAST_ANTI_MAX involved
+    # nodes, swap this veneer for a left_outer join — same contract as
+    # _survivors' two paths.)
+    nodes = lab_df["node"].to_numpy().astype(np.int64)
+    order = np.argsort(nodes)
+    ref = ray.put((nodes[order],
+                   lab_df["label"].to_numpy().astype(np.int64)[order]))
+    return docs_ids.map_batches(
+        _attach_components, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"lab_ref": ref},
+    )
+
+
+def dedup_components(sf_dir: str) -> pd.DataFrame:
+    df = dedup_components_ds(sf_dir).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)

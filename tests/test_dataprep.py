@@ -59,6 +59,38 @@ def test_dedup_minhash_removes_near_dups(crafted_dir):
     assert 2 not in got  # one-word change shares most shingles → LSH-caught
 
 
+def test_dedup_components_crafted(crafted_dir):
+    df = to_df(dataprep.dedup_components(crafted_dir))
+    comp = dict(zip(df["doc_id"], df["component_id"]))
+    assert len(comp) == 5  # every doc gets a component, singletons included
+    assert comp[0] == comp[1] == comp[2] == 0  # exact+near dups cluster to min id
+    assert comp[3] == 3 and comp[4] == 4  # unrelated docs stay singletons
+    # every component label is the min doc_id of its members
+    for cid, grp in df.groupby("component_id"):
+        assert cid == grp["doc_id"].min()
+
+
+def test_dedup_components_transitive_chain(tmp_path):
+    """A~B and B~C must land in ONE component even if A,C never share a
+    bucket — the transitive closure survivor-dedup can't express."""
+    texts = [
+        BASE,
+        BASE.replace("lazy", "sleepy"),
+        BASE.replace("lazy", "sleepy").replace("cat", "kitten"),
+        "totally unrelated filler words about databases and compilers "
+        "spanning an entirely disjoint vocabulary for isolation purposes",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts, type=pa.string())}
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    df = to_df(dataprep.dedup_components(str(tmp_path)))
+    comp = dict(zip(df["doc_id"], df["component_id"]))
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[3] == 3
+
+
 def test_dedup_ngram_jaccard_verified(crafted_dir):
     got = sorted(dataprep.dedup_ngram_jaccard(crafted_dir)["doc_id"])
     assert got == [0, 3, 4]  # 1 exact dup (J=1), 2 one-word change (J≥0.7)
