@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dataprep.dedup_exact,
         "dedup_minhash": dataprep.dedup_minhash,
         "dedup_components": dataprep.dedup_components,
+        "dedup_cluster_best": dataprep.dedup_cluster_best,
         "dedup_ngram_jaccard": dataprep.dedup_ngram_jaccard,
         "dedup_simhash": dataprep.dedup_simhash,
         "docs_token_stats": dataprep.docs_token_stats,

@@ -82,6 +82,37 @@ SELECT node AS doc_id, min(r) AS component_id
 FROM reach GROUP BY node ORDER BY doc_id"""
 
 
+def _dedup_cluster_best_sql() -> str:
+    """Cluster-representative selection replayed independently: components
+    via the recursive-CTE reachability (as _dedup_components_sql), then the
+    per-component argmax by (n_tokens DESC, doc_id ASC) via a window
+    row_number — vs the pipeline's Max/Count + join + equality-filter
+    resolution. Integer signals only."""
+    return f"""WITH RECURSIVE {H.sql_minhash_bands_cte()}, edges AS (
+  SELECT DISTINCT b1.doc_id AS node, b2.doc_id AS nbr
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.band_hash = b2.band_hash
+   AND b1.doc_id <> b2.doc_id
+), reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT e.node, reach.r FROM reach JOIN edges e ON e.nbr = reach.node
+), comp AS (
+  SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node
+), q AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens
+  FROM documents
+), j AS (
+  SELECT c.component_id, c.doc_id, q.n_tokens,
+         row_number() OVER (PARTITION BY c.component_id
+                            ORDER BY q.n_tokens DESC, c.doc_id) AS rn,
+         count(*) OVER (PARTITION BY c.component_id) AS n_members
+  FROM comp c JOIN q USING (doc_id)
+)
+SELECT component_id, doc_id, n_tokens, n_members
+FROM j WHERE rn = 1 ORDER BY component_id"""
+
+
 def _dedup_jaccard_sql() -> str:
     """The ALL-PAIRS n-gram-Jaccard definition — an independent check that
     the Ray pipeline's prefix filter has exact recall. Integer threshold:
@@ -554,6 +585,7 @@ LIMIT 10""",
         # replayed in DuckDB from the shared hashing.py constants ---
         "dedup_minhash": _dedup_minhash_sql(),
         "dedup_components": _dedup_components_sql(),
+        "dedup_cluster_best": _dedup_cluster_best_sql(),
         "dedup_ngram_jaccard": _dedup_jaccard_sql(),
         "dedup_simhash": _dedup_simhash_sql(),
         "docs_lang_id": _lang_id_sql(),

@@ -41,7 +41,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Max, Min
 
 from .. import hashing as H
 
@@ -734,6 +734,25 @@ def _query_vector(sf_dir: str) -> np.ndarray:
     return np.asarray(row["embedding"].to_pylist()[0], dtype=np.float64)
 
 
+def _det_mm(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Deterministic matrix product: einsum with optimize=False sums the
+    contraction index sequentially in a single-threaded C loop, so the
+    result is bit-stable across runs. Threaded BLAS (plain ``a @ b``)
+    picks its blocking — and therefore its summation order — from the
+    ambient thread/load state, which can flip an oracle-checked top-k
+    cut, LSH sign bit, or argmax at a 1-ulp boundary between runs.
+    Embedding dims here are small (≤64), so the BLAS speedup forgone is
+    marginal; every similarity feeding a ranking/threshold decision goes
+    through this."""
+    return np.einsum("ij,jk->ik", a, b, optimize=False)
+
+
+def _det_mv(a: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Deterministic matrix·vector (see _det_mm); also matches the
+    sequential index-order accumulation a SQL list_inner_product uses."""
+    return np.einsum("ij,j->i", a, v, optimize=False)
+
+
 class CosineStage:
     """Brute-force cosine vs a broadcast query vector; per-batch numpy
     matmul over the zero-copy list<float> column."""
@@ -753,7 +772,7 @@ class CosineStage:
         mat = np.asarray(emb.flatten(), dtype=np.float64).reshape(
             len(batch), -1
         )
-        sims = (mat @ self.q) / (np.linalg.norm(mat, axis=1) * self.qn)
+        sims = _det_mv(mat, self.q) / (np.linalg.norm(mat, axis=1) * self.qn)
         return pa.table(
             {"vec_id": batch["vec_id"], "sim": pa.array(sims, type=pa.float64())}
         )
@@ -786,7 +805,7 @@ class LshBucketStage:
         self.planes = H.lsh_planes(dim, n_planes, seed)
 
     def signature(self, mat: np.ndarray) -> np.ndarray:
-        bits = (mat @ self.planes) > 0
+        bits = _det_mm(mat, self.planes) > 0
         return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -866,7 +885,7 @@ def _train_centroids(sf_dir: str, nlist: int, iters: int = 10) -> np.ndarray:
     centroids = mat[rng.choice(len(mat), size=min(nlist, len(mat)),
                                replace=False)]
     for _ in range(iters):
-        assign = (mat @ centroids.T).argmax(axis=1)
+        assign = _det_mm(mat, centroids.T).argmax(axis=1)
         for c in range(len(centroids)):
             members = mat[assign == c]
             if len(members):
@@ -892,7 +911,7 @@ class IvfAssignStage:
             emb = emb.combine_chunks()
         mat = np.asarray(emb.flatten(), dtype=np.float64).reshape(len(batch), -1)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        lists = (mat @ self.centroids.T).argmax(axis=1)
+        lists = _det_mm(mat, self.centroids.T).argmax(axis=1)
         return batch.append_column(
             "ivf_list", pa.array(lists.astype(np.int64), type=pa.int64())
         )
@@ -912,7 +931,7 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, nlist: int = IVF_NLIST,
     q = _query_vector(sf_dir)
     centroids = _train_centroids(sf_dir, nlist)
     qn = q / np.linalg.norm(q)
-    probed = np.argsort(-(centroids @ qn))[:nprobe]
+    probed = np.argsort(-_det_mv(centroids, qn))[:nprobe]
     c_ref, q_ref = ray.put(centroids), ray.put(q)
     ds = _embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(
         _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
@@ -1332,7 +1351,7 @@ def _emb_dom_block(batch: pa.Table, threshold: float) -> pa.Table:
         chunk = max(1, int(EMB_ND_CHUNK_BUDGET // n))
         for c0 in range(1, n, chunk):
             c1 = min(n, c0 + chunk)
-            sims = sub[c0:c1] @ sub[:c1].T          # (chunk, c1)
+            sims = _det_mm(sub[c0:c1], sub[:c1].T)  # (chunk, c1)
             close = sims > threshold
             # row k (bucket index c0+k) may only be dominated by i < c0+k
             allowed = np.arange(c1)[None, :] < np.arange(c0, c1)[:, None]
@@ -1666,13 +1685,10 @@ def _attach_components(batch: pa.Table, lab_ref) -> pa.Table:
     )
 
 
-def dedup_components_ds(sf_dir: str) -> Dataset:
-    """Near-dup CLUSTERS: component_id = min doc_id of each connected
-    component of the MinHash candidate graph (docs sharing any LSH band
-    bucket are adjacent). Survivor-style dedup (dedup_minhash) removes
-    bucket-dominated docs; this computes the TRANSITIVE closure — A~B and
-    B~C cluster A,B,C together even when A and C share no bucket — which
-    is what near-dup AUDITING and cluster-aware sampling need.
+def _component_labels(sf_dir: str):
+    """Converged (nodes_sorted, labels_sorted) for every edge-touching doc
+    of the MinHash candidate graph, as a ray.put ObjectRef — the shared
+    engine behind dedup_components / dedup_cluster_best.
 
     Distributed shape (10^12-doc design):
     - edges: star edges per bucket from the same keyed-block kernel as
@@ -1683,9 +1699,8 @@ def dedup_components_ds(sf_dir: str) -> Dataset:
       (near-dup clusters are shallow; convergence detected by the
       monotone label sum, capped at COMPONENTS_MAX_ITERS);
     - only nodes touching an edge participate (the label set is the
-      candidate subgraph, far smaller than the corpus); the final
-      assignment broadcasts the converged labels and maps singletons to
-      themselves arithmetically.
+      candidate subgraph, far smaller than the corpus); singletons are
+      resolved arithmetically at attach time (component_id = doc_id).
     """
     import ray
 
@@ -1697,15 +1712,8 @@ def dedup_components_ds(sf_dir: str) -> Dataset:
         band_rows, ["band", "band_hash"], _star_edges_block
     ).materialize()
 
-    docs_ids = _docs(sf_dir, ["doc_id"])
-    n_edges = edges.count()
-    if n_edges == 0:
-        return docs_ids.map_batches(
-            _attach_components, batch_format="pyarrow", zero_copy_batch=True,
-            fn_kwargs={"lab_ref": ray.put(
-                (np.empty(0, np.int64), np.empty(0, np.int64))
-            )},
-        )
+    if edges.count() == 0:
+        return ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
 
     # init: label(node) = min(node, min neighbor) — one fold, saves a round
     labels = edges.groupby("node").aggregate(
@@ -1743,14 +1751,81 @@ def dedup_components_ds(sf_dir: str) -> Dataset:
     # _survivors' two paths.)
     nodes = lab_df["node"].to_numpy().astype(np.int64)
     order = np.argsort(nodes)
-    ref = ray.put((nodes[order],
-                   lab_df["label"].to_numpy().astype(np.int64)[order]))
-    return docs_ids.map_batches(
+    return ray.put((nodes[order],
+                    lab_df["label"].to_numpy().astype(np.int64)[order]))
+
+
+def dedup_components_ds(sf_dir: str) -> Dataset:
+    """Near-dup CLUSTERS: component_id = min doc_id of each connected
+    component of the MinHash candidate graph (docs sharing any LSH band
+    bucket are adjacent). Survivor-style dedup (dedup_minhash) removes
+    bucket-dominated docs; this computes the TRANSITIVE closure — A~B and
+    B~C cluster A,B,C together even when A and C share no bucket — which
+    is what near-dup AUDITING and cluster-aware sampling need.
+    Shape: see _component_labels."""
+    return _docs(sf_dir, ["doc_id"]).map_batches(
         _attach_components, batch_format="pyarrow", zero_copy_batch=True,
-        fn_kwargs={"lab_ref": ref},
+        fn_kwargs={"lab_ref": _component_labels(sf_dir)},
     )
 
 
 def dedup_components(sf_dir: str) -> pd.DataFrame:
     df = dedup_components_ds(sf_dir).to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _attach_components_tokens(batch: pa.Table, lab_ref) -> pa.Table:
+    lab = _attach_components(pa.table({"doc_id": batch["doc_id"]}), lab_ref)
+    return lab.append_column(
+        "n_tokens",
+        pc.cast(pc.count_substring_regex(batch["text"], TOKEN_PATTERN),
+                pa.int64()),
+    )
+
+
+def _best_candidates(batch: pa.Table) -> pa.Table:
+    keep = pc.equal(batch["n_tokens"], batch["best_nt"])
+    return batch.select(
+        ["component_id", "doc_id", "n_tokens", "n_members"]
+    ).filter(keep)
+
+
+def dedup_cluster_best_ds(sf_dir: str) -> Dataset:
+    """Cluster-representative dedup: per near-dup component keep the BEST
+    copy — the doc with the most tokens (truncated/partial scrapes lose to
+    the complete version), ties broken by min doc_id — instead of
+    dedup_minhash's bucket-min survivor. Emits (component_id, doc_id,
+    n_tokens, n_members) so downstream mixture weighting can see cluster
+    mass.
+
+    Shape on top of _component_labels: one map attaches (component_id,
+    n_tokens) per doc; a grouped Max/Count gets per-cluster best length and
+    size; an int-keyed hash join + equality filter + grouped Min resolves
+    the argmax deterministically. All signals are integers — no FP argmax
+    ambiguity between pipeline and oracle."""
+    per_doc = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _attach_components_tokens, batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"lab_ref": _component_labels(sf_dir)},
+    ).materialize()
+    stats = per_doc.groupby("component_id").aggregate(
+        Max("n_tokens", alias_name="best_nt"),
+        Count(alias_name="n_members"),
+    ).materialize()
+    joined = per_doc.join(
+        stats, join_type="inner", on=("component_id",),
+        num_partitions=_join_partitions(stats.count()),
+    )
+    return joined.map_batches(
+        _best_candidates, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("component_id").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Min("n_tokens", alias_name="n_tokens"),   # constant in group (=best)
+        Min("n_members", alias_name="n_members"),  # constant in group
+    )
+
+
+def dedup_cluster_best(sf_dir: str) -> pd.DataFrame:
+    df = dedup_cluster_best_ds(sf_dir).to_pandas()
+    df = df[["component_id", "doc_id", "n_tokens", "n_members"]]
+    return df.sort_values("component_id").reset_index(drop=True)

@@ -91,6 +91,28 @@ def test_dedup_components_transitive_chain(tmp_path):
     assert comp[3] == 3
 
 
+def test_dedup_cluster_best_keeps_longest(tmp_path):
+    """Representative selection: the LONGEST member of a near-dup cluster
+    survives (truncated copy loses), ties break to min doc_id."""
+    texts = [
+        BASE + " with a few extra closing words appended",  # longest copy
+        BASE,
+        BASE,  # exact dup of 1 — same length, must lose the id tie-break
+        "entirely separate subject matter concerning compilers and type "
+        "systems with no shingle overlap against the animal sentences",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts, type=pa.string())}
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    df = to_df(dataprep.dedup_cluster_best(str(tmp_path)))
+    by_comp = df.set_index("component_id")
+    assert by_comp.loc[0, "doc_id"] == 0  # longest member represents cluster
+    assert by_comp.loc[0, "n_members"] == 3
+    assert by_comp.loc[3, "doc_id"] == 3 and by_comp.loc[3, "n_members"] == 1
+
+
 def test_dedup_ngram_jaccard_verified(crafted_dir):
     got = sorted(dataprep.dedup_ngram_jaccard(crafted_dir)["doc_id"])
     assert got == [0, 3, 4]  # 1 exact dup (J=1), 2 one-word change (J≥0.7)
