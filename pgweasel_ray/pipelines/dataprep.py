@@ -1627,6 +1627,28 @@ def docs_pack_sequences(sf_dir: str) -> Dataset:
 # --- near-dup connected components (duplicate CLUSTERS, not just survivors) --
 
 COMPONENTS_MAX_ITERS = 50
+COMPONENTS_LOCAL_MAX_EDGES = 4_000_000  # collect edge list below this
+
+
+def _local_components(node: np.ndarray, nbr: np.ndarray):
+    """Vectorized min-label propagation with path compression over a
+    collected (bidirectional) edge list. Returns (nodes_sorted,
+    labels_sorted) matching the distributed loop's output exactly."""
+    uniq = np.unique(node)  # every endpoint appears as node (bidirectional)
+    lab = uniq.copy()
+    i_node = np.searchsorted(uniq, node)
+    i_nbr = np.searchsorted(uniq, nbr)
+    for _ in range(COMPONENTS_MAX_ITERS):
+        cur = lab.copy()
+        np.minimum.at(lab, i_node, cur[i_nbr])     # edge relaxation
+        pos = np.searchsorted(uniq, lab)           # path compression:
+        hit = uniq[np.clip(pos, 0, len(uniq) - 1)] == lab
+        lab[hit] = np.minimum(lab[hit], lab[np.clip(pos, 0, len(uniq) - 1)[hit]])
+        if np.array_equal(lab, cur):
+            return uniq, lab
+    raise RuntimeError(
+        f"_local_components: no fixpoint in {COMPONENTS_MAX_ITERS} rounds"
+    )
 
 
 def _star_edges_block(batch: pa.Table) -> pa.Table:
@@ -1712,8 +1734,21 @@ def _component_labels(sf_dir: str):
         band_rows, ["band", "band_hash"], _star_edges_block
     ).materialize()
 
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
+    if n_edges <= COMPONENTS_LOCAL_MAX_EDGES:
+        # The candidate subgraph is edges between near-dup docs only — a
+        # sliver of the corpus (24 B/edge; the cap collects ≤~100 MB).
+        # Distributed min-propagation pays multi-second join/groupby
+        # overhead PER ITERATION, so below the cap a vectorized local
+        # scatter-min converges in milliseconds — same two-path contract
+        # as _survivors (broadcast under the bound, shuffle above it).
+        df = edges.to_pandas()
+        return ray.put(_local_components(
+            df["node"].to_numpy().astype(np.int64),
+            df["nbr"].to_numpy().astype(np.int64),
+        ))
 
     # init: label(node) = min(node, min neighbor) — one fold, saves a round
     labels = edges.groupby("node").aggregate(

@@ -91,6 +91,16 @@ def test_dedup_components_transitive_chain(tmp_path):
     assert comp[3] == 3
 
 
+def test_dedup_components_distributed_path_matches_local(
+        crafted_dir, monkeypatch):
+    """Force the iterative distributed propagation (edge cap 0) and assert
+    it produces exactly the local scatter-min result."""
+    local = to_df(dataprep.dedup_components(crafted_dir))
+    monkeypatch.setattr(dataprep, "COMPONENTS_LOCAL_MAX_EDGES", 0)
+    dist = to_df(dataprep.dedup_components(crafted_dir))
+    pd.testing.assert_frame_equal(local, dist)
+
+
 def test_dedup_cluster_best_keeps_longest(tmp_path):
     """Representative selection: the LONGEST member of a near-dup cluster
     survives (truncated copy loses), ties break to min doc_id."""
