@@ -150,6 +150,38 @@ WHERE (((doc_id % {H.P}) * {H.SAMPLE_A} + {H.SAMPLE_B}) % {H.P}) * 100
       < {dataprep.SAMPLE_RATE_PCT}::BIGINT * {H.P}"""
 
 
+def _mixture_sample_sql() -> str:
+    """Temperature-flattened mixture sampling replayed exactly: integer
+    sqrt per source (double seed + adjustment), then the keep inequality
+    u * (S*T_s) < (B*isqrt(T_s)) * P evaluated in HUGEINT — the same
+    rational-rate rule dataprep.docs_mixture_sample precomputes as
+    per-source bignum thresholds."""
+    den = dataprep.MIXTURE_BUDGET_DEN
+    return rf"""WITH q AS (
+  SELECT doc_id, source, len(regexp_extract_all(text, '\S+')) AS nt
+  FROM documents
+), st AS (
+  SELECT source, CAST(sum(nt) AS BIGINT) AS t FROM q GROUP BY source
+), s0 AS (
+  SELECT source, t,
+         CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS r FROM st
+), s1 AS (
+  SELECT source, t, r - CASE WHEN r*r > t THEN 1 ELSE 0 END AS r FROM s0
+), sq AS (
+  SELECT source, t,
+         r + CASE WHEN (r+1)*(r+1) <= t THEN 1 ELSE 0 END AS s FROM s1
+), tot AS (
+  SELECT CAST(sum(s) AS BIGINT) AS ssum, CAST(sum(t) AS BIGINT) AS tsum
+  FROM sq
+)
+SELECT q.doc_id, q.source
+FROM q JOIN sq USING (source), tot
+WHERE CAST((((q.doc_id % {H.P}) * {H.SAMPLE_A} + {H.SAMPLE_B}) % {H.P})
+           AS HUGEINT) * (CAST(tot.ssum AS HUGEINT) * sq.t)
+      < (CAST(tot.tsum // {den} AS HUGEINT) * sq.s) * {H.P}
+ORDER BY q.doc_id"""
+
+
 def _vocab_topk_sql() -> str:
     return rf"""WITH w AS (
   SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
@@ -594,6 +626,7 @@ LIMIT 10""",
         "docs_scrub": _scrub_sql(),
         "docs_repetition": _repetition_sql(),
         "docs_sample_hash": _sample_hash_sql(),
+        "docs_mixture_sample": _mixture_sample_sql(),
         "docs_vocab_topk": _vocab_topk_sql(),
         "docs_decontaminate": _decontaminate_sql(),
         "docs_length_quantiles": _length_quantiles_sql(),

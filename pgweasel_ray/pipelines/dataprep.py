@@ -41,7 +41,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Min
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from .. import hashing as H
 
@@ -974,6 +974,74 @@ def docs_sample_hash(sf_dir: str, rate_pct: int = SAMPLE_RATE_PCT) -> Dataset:
     return _docs(sf_dir, ["doc_id"]).map_batches(
         _sample_filter, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"rate_pct": rate_pct},
+    )
+
+
+MIXTURE_BUDGET_DEN = 5  # sample down to ~1/5 of total corpus tokens
+
+
+def _source_token_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch pre-aggregation: (source, token-sum) partials so the
+    groupby shuffles one row per (batch, source), never per doc."""
+    nt = pc.cast(pc.count_substring_regex(batch["text"], TOKEN_PATTERN),
+                 pa.int64())
+    t = pa.table({"source": batch["source"], "t": nt})
+    return t.group_by("source").aggregate([("t", "sum")]).rename_columns(
+        ["source", "t"]
+    )
+
+
+def _mixture_filter(batch: pa.Table, srcs: list, thresholds: np.ndarray
+                    ) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    u = ((ids % H.P) * H.SAMPLE_A + H.SAMPLE_B) % H.P
+    idx = pc.index_in(batch["source"],
+                      value_set=pa.array(srcs)).to_numpy(zero_copy_only=False)
+    return pa.table(
+        {"doc_id": batch["doc_id"], "source": batch["source"]}
+    ).filter(pa.array(u < thresholds[idx]))
+
+
+def docs_mixture_sample(sf_dir: str) -> Dataset:
+    """Temperature-flattened source-mixture sampling (alpha = 0.5, the
+    standard multilingual/source-rebalancing exponent): each source's
+    share of a global token budget (total // MIXTURE_BUDGET_DEN) is
+    proportional to sqrt(its token mass), so over-represented sources are
+    downsampled hardest while small sources keep (up to) everything.
+    Doc-level keep/drop is the stateless affine-hash primitive of
+    docs_sample_hash with a per-source rational rate.
+
+    Exactness: rates stay RATIONAL — keep iff
+    u * (S * T_s) < (B * isqrt(T_s)) * P with integer isqrt — so pipeline
+    and oracle agree bit-for-bit (the oracle evaluates the inequality in
+    HUGEINT; here each source's threshold ceil(num*P/den) is precomputed
+    with Python bignums — a per-SOURCE cost only — and the per-doc
+    compare is a vectorized int64 u < t[source]). Assumes per-source
+    token totals < 2^52 (~4.5e15 tokens) so the SQL double-sqrt seed is
+    within the +/-1 the integer adjustment corrects.
+
+    Scale shape: one pre-aggregated groupby over (source) partials — a
+    few-row collect, like IVF's bounded training sample — then a
+    stateless, shuffle-free filter over the corpus."""
+    per_src = _docs(sf_dir, ["source", "text"]).map_batches(
+        _source_token_partials, batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("source").aggregate(Sum("t", alias_name="t")).to_pandas()
+
+    import math
+
+    srcs = sorted(per_src["source"])
+    tok = {s: int(t) for s, t in zip(per_src["source"], per_src["t"])}
+    s_of = {s: math.isqrt(tok[s]) for s in srcs}
+    ssum, total = sum(s_of.values()), sum(tok.values())
+    budget = total // MIXTURE_BUDGET_DEN
+    thr = np.array(
+        [min(H.P, -(-(budget * s_of[s] * H.P) // (ssum * tok[s])))
+         if tok[s] else 0 for s in srcs],
+        dtype=np.int64,
+    )
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        _mixture_filter, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"srcs": srcs, "thresholds": thr},
     )
 
 

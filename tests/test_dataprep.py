@@ -278,6 +278,30 @@ def test_sample_hash_deterministic_and_rate(sf_dir):
     assert 0.1 < rate < 0.35  # ~20% nominal
 
 
+def test_mixture_sample_flattens_sources(tmp_path):
+    """alpha=0.5 rebalancing: the dominant source is downsampled much
+    harder than the minority source, and the draw is deterministic."""
+    words = " ".join(f"w{i}" for i in range(50))
+    texts = [words] * 110
+    t = pa.table(
+        {"doc_id": pa.array(range(110), type=pa.int64()),
+         "text": pa.array(texts),
+         "source": pa.array(["big"] * 100 + ["small"] * 10)}
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    df = to_df(dataprep.docs_mixture_sample(str(tmp_path)))
+    kept = df.groupby("source").size()
+    rate_big = kept.get("big", 0) / 100
+    rate_small = kept.get("small", 0) / 10
+    # sqrt-flattening: rates ~0.167 vs ~0.526 for a 10:1 token imbalance
+    assert rate_small > rate_big > 0
+    df2 = to_df(dataprep.docs_mixture_sample(str(tmp_path)))
+    pd.testing.assert_frame_equal(
+        df.sort_values("doc_id").reset_index(drop=True),
+        df2.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
 def test_vocab_topk_matches_counter(sf_dir):
     got = to_df(dataprep.docs_vocab_topk(sf_dir))
     import collections
