@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": dataprep.docs_repetition,
         "docs_sample_hash": dataprep.docs_sample_hash,
         "docs_mixture_sample": dataprep.docs_mixture_sample,
+        "docs_topk_per_source": dataprep.docs_topk_per_source,
         "docs_vocab_topk": dataprep.docs_vocab_topk,
         "docs_decontaminate": dataprep.docs_decontaminate,
         "docs_length_quantiles": dataprep.docs_length_quantiles,

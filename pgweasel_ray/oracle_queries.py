@@ -182,6 +182,21 @@ WHERE CAST((((q.doc_id % {H.P}) * {H.SAMPLE_A} + {H.SAMPLE_B}) % {H.P})
 ORDER BY q.doc_id"""
 
 
+def _topk_per_source_sql() -> str:
+    k = dataprep.TOPK_PER_GROUP_K
+    return rf"""WITH q AS (
+  SELECT doc_id, source, len(regexp_extract_all(text, '\S+')) AS n_tokens
+  FROM documents
+), r AS (
+  SELECT source, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM q
+)
+SELECT source, doc_id, n_tokens FROM r WHERE rn <= {k}
+ORDER BY source, n_tokens DESC, doc_id"""
+
+
 def _vocab_topk_sql() -> str:
     return rf"""WITH w AS (
   SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
@@ -627,6 +642,7 @@ LIMIT 10""",
         "docs_repetition": _repetition_sql(),
         "docs_sample_hash": _sample_hash_sql(),
         "docs_mixture_sample": _mixture_sample_sql(),
+        "docs_topk_per_source": _topk_per_source_sql(),
         "docs_vocab_topk": _vocab_topk_sql(),
         "docs_decontaminate": _decontaminate_sql(),
         "docs_length_quantiles": _length_quantiles_sql(),

@@ -1045,6 +1045,59 @@ def docs_mixture_sample(sf_dir: str) -> Dataset:
     )
 
 
+TOPK_PER_GROUP_K = 5
+
+
+def _doc_source_tokens(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {"doc_id": batch["doc_id"], "source": batch["source"],
+         "n_tokens": pc.cast(
+             pc.count_substring_regex(batch["text"], TOKEN_PATTERN),
+             pa.int64())}
+    )
+
+
+def _topk_rows_block(batch: pa.Table, k: int) -> pa.Table:
+    """Top-k rows per source within one batch/block by
+    (n_tokens DESC, doc_id ASC) — used both as the per-block combiner and
+    as the final per-group-exclusive reducer."""
+    if batch.num_rows == 0:
+        return batch
+    src = np.asarray(batch["source"].to_pandas(), dtype=object)
+    codes = np.unique(src, return_inverse=True)[1]
+    nt = batch["n_tokens"].to_numpy(zero_copy_only=False)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -nt, codes))
+    c = codes[order]
+    first = np.r_[True, c[1:] != c[:-1]]
+    start = np.maximum.accumulate(np.where(first, np.arange(len(c)), 0))
+    keep = (np.arange(len(c)) - start) < k
+    return batch.take(pa.array(order[keep]))
+
+
+def docs_topk_per_source(sf_dir: str, k: int = TOPK_PER_GROUP_K
+                         ) -> pd.DataFrame:
+    """Distributed top-k per group (the window-function primitive): the k
+    longest docs of every source. Classic two-level shape — each map task
+    emits at most k rows per source it sees (combiner), so the keyed
+    exchange moves O(k * sources * blocks) rows, never the corpus; the
+    final reduce is the same kernel on source-exclusive blocks. Oracle:
+    row_number() OVER (PARTITION BY source ORDER BY n_tokens DESC,
+    doc_id) <= k."""
+    local = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        _doc_source_tokens, batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(
+        _topk_rows_block, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"k": k},
+    ).materialize()
+    top = _keyed_blocks(local, ["source"], _topk_rows_block,
+                        fn_kwargs={"k": k})
+    df = top.to_pandas()
+    return df.sort_values(
+        ["source", "n_tokens", "doc_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)[["source", "doc_id", "n_tokens"]]
+
+
 VOCAB_TOP_K = 50
 
 

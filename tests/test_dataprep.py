@@ -302,6 +302,24 @@ def test_mixture_sample_flattens_sources(tmp_path):
     )
 
 
+def test_topk_per_source_ties_and_cap(tmp_path):
+    """k-cap per group and deterministic tie-break (equal lengths -> min
+    doc_id wins the last slot)."""
+    texts = (["three words here"] * 8          # src a: 8 equal-length docs
+             + ["two words", "one", "a b c d five words yes"])  # src b
+    t = pa.table(
+        {"doc_id": pa.array(range(11), type=pa.int64()),
+         "text": pa.array(texts),
+         "source": pa.array(["a"] * 8 + ["b"] * 3)}
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    df = to_df(dataprep.docs_topk_per_source(str(tmp_path), k=5))
+    a = df[df["source"] == "a"]
+    assert list(a["doc_id"]) == [0, 1, 2, 3, 4]  # ties -> smallest ids
+    b = df[df["source"] == "b"]
+    assert list(b["doc_id"]) == [10, 8, 9]  # 7 > 2 > 1 tokens, all kept
+
+
 def test_vocab_topk_matches_counter(sf_dir):
     got = to_df(dataprep.docs_vocab_topk(sf_dir))
     import collections
