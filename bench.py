@@ -127,7 +127,10 @@ def run_bench() -> dict:
                          ("docs_vocab_topk", dataprep.docs_vocab_topk),
                          ("dedup_chunks", dataprep.dedup_chunks),
                          ("docs_pack_sequences",
-                          dataprep.docs_pack_sequences)):
+                          dataprep.docs_pack_sequences),
+                         ("dedup_components", dataprep.dedup_components),
+                         ("docs_mixture_sample",
+                          dataprep.docs_mixture_sample)):
             timed_e2e(name, fn, SF_DIR)
 
     result = {
