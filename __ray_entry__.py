@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-checked: the dedup/ANN/fingerprint oracles replay the same
         # deterministic algorithm in DuckDB from shared hashing.py constants
         "dedup_exact": dataprep.dedup_exact,
+        "dedup_incremental": dataprep.dedup_incremental,
         "dedup_minhash": dataprep.dedup_minhash,
         "dedup_components": dataprep.dedup_components,
         "dedup_cluster_best": dataprep.dedup_cluster_best,

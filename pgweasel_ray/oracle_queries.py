@@ -599,6 +599,9 @@ FROM parsed""",
         # --- documents / embeddings ---
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""",
+        # incremental dedup with id-ordered rounds == one-shot exact dedup
+        "dedup_incremental": """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""",
         "docs_token_stats": r"""
 SELECT doc_id,
        length(text)::BIGINT AS n_chars,

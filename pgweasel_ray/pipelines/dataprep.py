@@ -129,6 +129,41 @@ def dedup_exact(sf_dir: str) -> Dataset:
     return survivors.select_columns(["doc_id"])
 
 
+def _id_range_mask(batch: pa.Table, lo: int, hi: int) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return batch.filter(pa.array((ids >= lo) & (ids < hi)))
+
+
+def dedup_incremental(sf_dir: str, n_rounds: int = 2) -> pd.DataFrame:
+    """Exact dedup against a PERSISTENT cross-round index — the streaming
+    ingest case: each arriving increment dedups against everything
+    already committed, via the hash-sharded actor fleet in
+    state/dedup_index.py (the one shape the Dataset API can't express).
+
+    The corpus is split into ``n_rounds`` doc_id ranges fed in order;
+    because rounds arrive in id order, the union of per-round survivors
+    provably equals one-shot exact dedup (min doc_id per text), which is
+    the SQL oracle. Stateful semantics (later-round copies of a committed
+    text are dropped regardless of id) are covered in test_dataprep."""
+    from ..state.dedup_index import IncrementalDeduper
+
+    hashed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _content_hash, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    mx = int(hashed.max("doc_id"))
+    step = (mx + n_rounds) // n_rounds
+    dd = IncrementalDeduper(n_shards=4)
+    parts = []
+    for r in range(n_rounds):
+        rnd = hashed.map_batches(
+            _id_range_mask, batch_format="pyarrow", zero_copy_batch=True,
+            fn_kwargs={"lo": r * step, "hi": (r + 1) * step},
+        )
+        parts.append(dd.add_round(rnd))
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # --- text analysis -----------------------------------------------------------
 
 def _token_stats(batch: pa.Table) -> pa.Table:

@@ -594,3 +594,60 @@ def test_with_global_offsets_multi_block():
     df = to_df(out).sort_values("doc_id")
     # block-local arange + exclusive block prefix sum == global 0..n-1
     assert list(df["pos"]) == [0, 1, 2, 3, 4, 5]
+
+
+# --- incremental dedup (stateful cross-round index) --------------------------
+
+def _hashed_ds(pairs):
+    """(doc_id, text) pairs -> Dataset with (doc_id, h1, h2)."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in pairs], type=pa.int64()),
+            "text": pa.array([s for _, s in pairs], type=pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t).map_batches(
+        dataprep._content_hash, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def test_dedup_incremental_matches_exact(crafted_dir):
+    got = sorted(dataprep.dedup_incremental(crafted_dir, n_rounds=2)["doc_id"])
+    want = sorted(to_df(dataprep.dedup_exact(crafted_dir))["doc_id"])
+    assert got == want  # id-ordered rounds == one-shot exact dedup
+
+
+def test_dedup_incremental_committed_wins():
+    """The genuinely stateful semantic: once a round commits a text, a
+    LATER round's copy loses even with a smaller doc_id."""
+    from pgweasel_ray.state.dedup_index import IncrementalDeduper
+
+    dd = IncrementalDeduper(n_shards=2)
+    r1 = dd.add_round(_hashed_ds([(10, "alpha"), (11, "beta")]))
+    assert sorted(r1["doc_id"]) == [10, 11]
+    # id 3 < 10, but "alpha" is already committed -> dropped
+    r2 = dd.add_round(_hashed_ds([(3, "alpha"), (7, "gamma")]))
+    assert sorted(r2["doc_id"]) == [7]
+    assert dd.committed_size() == 3  # alpha, beta, gamma
+
+
+def test_dedup_incremental_offer_idempotent():
+    """Re-offering a round's batch (Ray at-least-once retry) must not
+    change the survivor set: min-fold is idempotent."""
+    from pgweasel_ray.state import dedup_index as di
+
+    dd = di.IncrementalDeduper(n_shards=2)
+    ds = _hashed_ds([(5, "x"), (9, "x"), (6, "y")]).materialize()
+    # simulate a retried offer pass: run the offer stage twice
+    for _ in range(2):
+        ds.map_batches(
+            di._offer_batch, batch_format="pyarrow", zero_copy_batch=True,
+            fn_kwargs={"shards": dd.shards},
+        ).materialize()
+    surv = ds.map_batches(
+        di._survivor_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"shards": dd.shards},
+    ).to_pandas()
+    assert sorted(surv["doc_id"]) == [5, 6]
