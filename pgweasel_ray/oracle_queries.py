@@ -339,6 +339,48 @@ def _dedup_chunks_sql() -> str:
 SELECT keep // {mod} AS doc_id, keep % {mod} AS chunk_idx FROM m"""
 
 
+def _strip_boilerplate_sql() -> str:
+    """Boilerplate strip replayed literally on chunk STRINGS: same
+    chunking CTE as _dedup_chunks_sql, flag chunks in >= BOILER_MIN_DOCS
+    distinct docs, reassemble kept chunks in order. Equivalent to the
+    pipeline's hash-keyed flagging modulo 2^-64 bkey collisions."""
+    cw = dataprep.CHUNK_WORDS
+    sep = ord(H.GRAM_SEP)
+    k = dataprep.BOILER_MIN_DOCS
+    return rf"""WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[^\t\n\f\r ]+') AS ws
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) - 1 AS widx
+  FROM t
+), ch AS (
+  SELECT doc_id, widx // {cw} AS chunk_idx,
+         string_agg(word, chr({sep}) ORDER BY widx) AS chunk
+  FROM w GROUP BY doc_id, chunk_idx
+), f AS (
+  SELECT chunk FROM ch GROUP BY chunk
+  HAVING count(DISTINCT doc_id) >= {k}
+), kept AS (
+  SELECT doc_id, chunk_idx, chunk FROM ch
+  WHERE chunk NOT IN (SELECT chunk FROM f)
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(replace(chunk, chr({sep}), ' '), ' '
+                    ORDER BY chunk_idx) AS clean_text
+  FROM kept GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(tot.n_chunks, 0)::BIGINT AS n_chunks,
+       (coalesce(tot.n_chunks, 0) - coalesce(agg.n_kept, 0))::BIGINT
+         AS n_removed,
+       coalesce(agg.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN agg ON d.doc_id = agg.doc_id"""
+
+
 def _shuffle_order_sql() -> str:
     return f"""WITH k AS (
   SELECT doc_id,
@@ -651,6 +693,7 @@ LIMIT 10""",
         "docs_length_quantiles": _length_quantiles_sql(),
         "docs_normalize": _normalize_sql(),
         "dedup_chunks": _dedup_chunks_sql(),
+        "docs_strip_boilerplate": _strip_boilerplate_sql(),
         "docs_shuffle_order": _shuffle_order_sql(),
         "docs_pack_sequences": _pack_sequences_sql(),
         "corpus_export_counts": _corpus_export_counts_sql(),

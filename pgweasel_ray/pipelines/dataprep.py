@@ -1562,13 +1562,12 @@ CHUNK_IDX_BITS = 20       # packed id = doc_id << 20 | chunk_idx
 #   scale. (A 16M-word document would be pathological upstream anyway.)
 
 
-def _chunk_rows(batch: pa.Table) -> pa.Table:
-    """doc → one row per non-overlapping CHUNK_WORDS-word chunk, carrying
-    the 128-bit chunk-content hash and the packed (doc_id, chunk_idx) key.
-    Whole kernel runs in polars (Rust): extract_all → explode → window
-    cumcount → group-join. The shuffle downstream moves 24-byte hash keys,
-    never chunk text (same design as exact dedup; the oracle groups by the
-    chunk STRING, which is equivalent modulo 2^-128 collisions)."""
+def _chunk_strings(batch: pa.Table):
+    """doc → polars frame of (doc_id, chunk_idx, chunk) — one row per
+    non-overlapping CHUNK_WORDS-word lowercased chunk. Whole kernel runs
+    in polars (Rust): extract_all → explode → window cumcount →
+    group-join. Shared by chunk dedup and boilerplate strip so both sides
+    of every oracle replay the identical chunking."""
     import polars as pl
 
     df = pl.from_arrow(batch.select(["doc_id", "text"]))
@@ -1585,9 +1584,18 @@ def _chunk_rows(batch: pa.Table) -> pa.Table:
             .alias("chunk_idx")
         )
     )
-    chunks = ex.group_by(["doc_id", "chunk_idx"]).agg(
+    return ex.group_by(["doc_id", "chunk_idx"]).agg(
         pl.col("w").str.join(H.GRAM_SEP).alias("chunk")
     )
+
+
+def _chunk_rows(batch: pa.Table) -> pa.Table:
+    """doc → one row per chunk, carrying the 128-bit chunk-content hash
+    and the packed (doc_id, chunk_idx) key. The shuffle downstream moves
+    24-byte hash keys, never chunk text (same design as exact dedup; the
+    oracle groups by the chunk STRING, which is equivalent modulo 2^-128
+    collisions)."""
+    chunks = _chunk_strings(batch)
     packed = (
         chunks["doc_id"].to_numpy() * np.int64(1 << CHUNK_IDX_BITS)
         + chunks["chunk_idx"].to_numpy()
@@ -1640,6 +1648,132 @@ def dedup_chunks(sf_dir: str) -> Dataset:
     )
     return mins.map_batches(
         _unpack_chunk_ids, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# --- boilerplate strip (C4/RefinedWeb-style frequent-span removal) -----------
+
+BOILER_MIN_DOCS = 2   # a chunk in >= this many DISTINCT docs is boilerplate
+_BKEY_MIX = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 (signed)
+
+
+def _bkey(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Single int64 membership key mixed from the 128-bit chunk hash
+    (silent C wraparound; collisions 2^-64 — the same string≡hash
+    equivalence the exact-dedup oracle accepts)."""
+    return h1 * _BKEY_MIX + h2
+
+
+def _boiler_flagged_block(batch: pa.Table) -> pa.Table:
+    """Flagged chunk keys for one (h1, h2)-exclusive partition, fully
+    vectorized: dedup (h1, h2, doc) triples, then count docs per key via
+    group boundaries."""
+    if batch.num_rows == 0:
+        return pa.table({"bkey": pa.array([], type=pa.int64())})
+    h1 = batch["h1"].to_numpy(zero_copy_only=False)
+    h2 = batch["h2"].to_numpy(zero_copy_only=False)
+    doc = batch["packed"].to_numpy(zero_copy_only=False) >> CHUNK_IDX_BITS
+    order = np.lexsort((doc, h2, h1))
+    h1, h2, doc = h1[order], h2[order], doc[order]
+    tri = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+                | (doc[1:] != doc[:-1])]
+    h1, h2 = h1[tri], h2[tri]
+    starts = np.flatnonzero(
+        np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+    )
+    n_docs = np.diff(np.r_[starts, len(h1)])
+    hot = starts[n_docs >= BOILER_MIN_DOCS]
+    return pa.table({"bkey": pa.array(_bkey(h1[hot], h2[hot]),
+                                      type=pa.int64())})
+
+
+_STRIP_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_chunks", pa.int64()),
+     ("n_removed", pa.int64()), ("clean_text", pa.string())]
+)
+
+
+def _strip_boiler_batch(batch: pa.Table, flagged_ref=None,
+                        keyset=None) -> pa.Table:
+    """Re-derive the doc's chunks LOCALLY, probe the flagged set, and
+    reassemble the kept chunks in order — the document text never enters
+    a shuffle. clean_text is lowercased + single-space-joined (the
+    chunking normalization); docs with every chunk flagged (or no words)
+    come back with clean_text = ''."""
+    import polars as pl
+    import ray
+
+    chunks = _chunk_strings(batch)
+    keys = _bkey(
+        chunks["chunk"].hash(seed=1).to_numpy().view(np.int64),
+        chunks["chunk"].hash(seed=2).to_numpy().view(np.int64),
+    )
+    if keyset is not None:
+        bad = keyset.contains(keys)
+    else:
+        flagged = ray.get(flagged_ref)  # object-store local after 1st read
+        i = np.searchsorted(flagged, keys)
+        ok = i < len(flagged)
+        bad = np.zeros(len(keys), dtype=bool)
+        bad[ok] = flagged[i[ok]] == keys[ok]
+    chunks = chunks.with_columns(pl.Series("bad", bad))
+    agg = chunks.filter(~pl.col("bad")).group_by("doc_id").agg(
+        pl.len().alias("n_kept"),
+        pl.col("chunk").sort_by("chunk_idx").str.join(" ")
+        .str.replace_all(H.GRAM_SEP, " ", literal=True)
+        .alias("clean_text"),
+    )
+    tot = chunks.group_by("doc_id").agg(pl.len().alias("n_chunks"))
+    out = (
+        pl.from_arrow(batch.select(["doc_id"]))
+        .join(tot, on="doc_id", how="left")
+        .join(agg, on="doc_id", how="left")
+        .with_columns(
+            pl.col("n_chunks").fill_null(0).cast(pl.Int64),
+            (pl.col("n_chunks").fill_null(0) - pl.col("n_kept").fill_null(0))
+            .cast(pl.Int64).alias("n_removed"),
+            pl.col("clean_text").fill_null(""),
+        )
+        .select(["doc_id", "n_chunks", "n_removed", "clean_text"])
+    )
+    return out.to_arrow().cast(_STRIP_SCHEMA)
+
+
+def docs_strip_boilerplate(sf_dir: str) -> Dataset:
+    """Remove chunks that occur in >= BOILER_MIN_DOCS distinct documents
+    (headers, footers, license banners — the C4/RefinedWeb boilerplate
+    rule) and return each doc's cleaned text.
+
+    Scale shape: text NEVER shuffles. The one exchange hash-partitions
+    24-byte chunk hashes to count distinct docs per chunk
+    (bucket-exclusive keyed blocks, no map_groups); the flagged set comes
+    back as a broadcast sorted array below BROADCAST_ANTI_MAX, else as a
+    hash-sharded actor key-set (state/keyset.py) probed per batch; the
+    removal pass re-derives each doc's chunks locally."""
+    import ray
+
+    chunks = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _chunk_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    flagged = _keyed_blocks(chunks, ["h1", "h2"], _boiler_flagged_block
+                            ).materialize()
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    if flagged.count() <= BROADCAST_ANTI_MAX:
+        arr = np.sort(
+            flagged.to_pandas()["bkey"].to_numpy().astype(np.int64)
+        )
+        ref = ray.put(arr)
+        return docs.map_batches(
+            _strip_boiler_batch, batch_format="pyarrow",
+            zero_copy_batch=True, fn_kwargs={"flagged_ref": ref},
+        )
+    from ..state.keyset import ShardedKeySet
+
+    ks = ShardedKeySet()
+    ks.add_dataset(flagged, "bkey")
+    return docs.map_batches(
+        _strip_boiler_batch, batch_format="pyarrow",
+        zero_copy_batch=True, fn_kwargs={"keyset": ks},
     )
 
 

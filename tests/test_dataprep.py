@@ -651,3 +651,57 @@ def test_dedup_incremental_offer_idempotent():
         fn_kwargs={"shards": dd.shards},
     ).to_pandas()
     assert sorted(surv["doc_id"]) == [5, 6]
+
+
+# --- boilerplate strip -------------------------------------------------------
+
+BOILER = " ".join(f"w{i}" for i in range(dataprep.CHUNK_WORDS))  # one chunk
+
+
+@pytest.fixture(scope="module")
+def boiler_dir(tmp_path_factory):
+    """Docs 0-2 share an identical 16-word opening chunk (boilerplate);
+    each has a distinct tail. Doc 3 is unrelated. Doc 4 is ONLY the
+    boilerplate chunk (fully stripped)."""
+    d = tmp_path_factory.mktemp("boiler")
+    texts = [
+        BOILER + " unique tail zero about engines",
+        BOILER + " other tail one about arrows",
+        BOILER + " third tail two about batches",
+        "entirely unrelated document with no shared spans at all here",
+        BOILER,
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    pq.write_table(t, d / "documents.parquet")
+    return str(d)
+
+
+def test_strip_boilerplate_crafted(boiler_dir):
+    got = (
+        to_df(dataprep.docs_strip_boilerplate(boiler_dir))
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(got["n_removed"]) == [1, 1, 1, 0, 1]
+    assert got.loc[0, "clean_text"] == "unique tail zero about engines"
+    assert got.loc[3, "clean_text"] == (
+        "entirely unrelated document with no shared spans at all here"
+    )
+    assert got.loc[4, "clean_text"] == ""  # fully boilerplate
+    assert list(got["n_chunks"]) == [2, 2, 2, 1, 1]
+
+
+def test_strip_boilerplate_sharded_fallback(boiler_dir, monkeypatch):
+    """Forcing the flagged set over the broadcast cap must route through
+    the sharded key-set actors and produce identical output."""
+    want = to_df(dataprep.docs_strip_boilerplate(boiler_dir))
+    monkeypatch.setattr(dataprep, "BROADCAST_ANTI_MAX", 0)
+    got = to_df(dataprep.docs_strip_boilerplate(boiler_dir))
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        want.sort_values("doc_id").reset_index(drop=True),
+    )
