@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_normalize": dataprep.docs_normalize,
         "dedup_chunks": dataprep.dedup_chunks,
         "docs_strip_boilerplate": dataprep.docs_strip_boilerplate,
+        "docs_lm_surprisal": dataprep.docs_lm_surprisal,
         "docs_shuffle_order": dataprep.docs_shuffle_order,
         "docs_pack_sequences": dataprep.docs_pack_sequences,
         "corpus_export_counts": export.corpus_export_counts,

@@ -339,6 +339,32 @@ def _dedup_chunks_sql() -> str:
 SELECT keep // {mod} AS doc_id, keep % {mod} AS chunk_idx FROM m"""
 
 
+def _lm_surprisal_sql() -> str:
+    """Unigram surprisal replayed literally: same top-V vocab (count desc,
+    word asc), same integer floor-log2 via length(bin(q)) - 1 — bit-exact
+    against the pipeline's frexp kernel (no libm log on either side)."""
+    v = dataprep.LM_VOCAB_TOP
+    return rf"""WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS word
+  FROM documents
+), cnt AS (
+  SELECT word, count(*)::BIGINT AS c FROM w GROUP BY word
+), tot AS (
+  SELECT sum(c)::BIGINT AS t FROM cnt
+), voc AS (
+  SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT {v}
+), sc AS (
+  SELECT w.doc_id, v.word IS NULL AS oov,
+         length(bin(t // coalesce(v.c, 1))) - 1 AS bits
+  FROM w CROSS JOIN tot LEFT JOIN voc v ON w.word = v.word
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN oov THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       sum(bits)::BIGINT AS sum_bits,
+       sum(bits)::DOUBLE / count(*) AS avg_bits
+FROM sc GROUP BY doc_id"""
+
+
 def _strip_boilerplate_sql() -> str:
     """Boilerplate strip replayed literally on chunk STRINGS: same
     chunking CTE as _dedup_chunks_sql, flag chunks in >= BOILER_MIN_DOCS
@@ -694,6 +720,7 @@ LIMIT 10""",
         "docs_normalize": _normalize_sql(),
         "dedup_chunks": _dedup_chunks_sql(),
         "docs_strip_boilerplate": _strip_boilerplate_sql(),
+        "docs_lm_surprisal": _lm_surprisal_sql(),
         "docs_shuffle_order": _shuffle_order_sql(),
         "docs_pack_sequences": _pack_sequences_sql(),
         "corpus_export_counts": _corpus_export_counts_sql(),

@@ -1159,6 +1159,91 @@ def docs_vocab_topk(sf_dir: str, k: int = VOCAB_TOP_K) -> Dataset:
     return counts.sort(["cnt", "word"], descending=[True, False]).limit(k)
 
 
+# --- unigram LM surprisal (CCNet-style quality signal) -----------------------
+
+LM_VOCAB_TOP = 4096   # words in the broadcast LM; everything else is OOV
+
+
+def _floor_log2_exact(q: np.ndarray) -> np.ndarray:
+    """floor(log2(q)) for positive int64 q < 2^53, BIT-EXACT: frexp of the
+    (exactly representable) double gives mantissa in [0.5, 1) and the true
+    binary exponent — no libm log whose last-ulp could diverge from the
+    oracle's. Matches SQL length(bin(q)) - 1."""
+    _, e = np.frexp(q.astype(np.float64))
+    return (e - 1).astype(np.int64)
+
+
+def _lm_score_batch(batch: pa.Table, vocab_ref) -> pa.Table:
+    """Per-doc integer-quantized unigram surprisal: each token scores
+    floor(log2(T // c_w)) bits (OOV ⇒ c = 1 ⇒ max surprise). All-integer
+    arithmetic ⇒ order-independent sums ⇒ hash-stable vs the oracle; the
+    only float, avg_bits = sum_bits / n_tokens, is one exact-rounded
+    division of two ints on both sides."""
+    import ray
+
+    vw, vc, total = ray.get(vocab_ref)
+    words = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"\s+")
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(lens)), lens)
+    flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+    keep = flat != ""
+    flat, doc_idx = flat[keep], doc_idx[keep]
+    vi = pd.Index(vw).get_indexer(flat)
+    c = np.where(vi >= 0, vc[np.clip(vi, 0, None)], 1).astype(np.int64)
+    bits = _floor_log2_exact(total // c)
+    n = batch.num_rows
+    n_tokens = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    n_oov = np.bincount(doc_idx, weights=(vi < 0), minlength=n).astype(np.int64)
+    sum_bits = np.bincount(doc_idx, weights=bits, minlength=n).astype(np.int64)
+    has = n_tokens > 0
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].filter(pa.array(has)),
+            "n_tokens": pa.array(n_tokens[has], type=pa.int64()),
+            "n_oov": pa.array(n_oov[has], type=pa.int64()),
+            "sum_bits": pa.array(sum_bits[has], type=pa.int64()),
+            "avg_bits": pa.array(
+                sum_bits[has] / n_tokens[has], type=pa.float64()
+            ),
+        }
+    )
+
+
+def docs_lm_surprisal(sf_dir: str) -> Dataset:
+    """Unigram-LM surprisal score per document — the CCNet/KenLM-shaped
+    quality signal: documents whose tokens are improbable under the
+    corpus's own unigram distribution score high (gibberish, rare-token
+    spam), boilerplate scores low.
+
+    Scale shape: the LM trains distributedly (explode → pre-aggregated
+    word counts → distributed sort+limit keeps top LM_VOCAB_TOP); ONLY
+    the bounded vocab (word, count) pairs reach the driver and broadcast
+    via ray.put; scoring is one stateless pass over the corpus. Surprisal
+    is integer-quantized (floor-log2 bits) so driver and oracle agree
+    bit-for-bit with no libm dependence."""
+    import ray
+
+    from .common import grouped_count
+
+    words = _docs(sf_dir, ["text"]).map_batches(
+        _explode_words, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = grouped_count(words, ["word"]).materialize()
+    total = int(counts.sum("cnt"))
+    voc = (
+        counts.sort(["cnt", "word"], descending=[True, False])
+        .limit(LM_VOCAB_TOP).to_pandas()
+    )
+    ref = ray.put(
+        (voc["word"].to_numpy(), voc["cnt"].to_numpy().astype(np.int64),
+         total)
+    )
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _lm_score_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"vocab_ref": ref},
+    )
+
+
 DECONTAM_BENCH_MAX_ID = 10  # doc_id < 10 ⇒ benchmark member
 
 

@@ -705,3 +705,42 @@ def test_strip_boilerplate_sharded_fallback(boiler_dir, monkeypatch):
         got.sort_values("doc_id").reset_index(drop=True),
         want.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+# --- unigram LM surprisal ----------------------------------------------------
+
+def test_lm_surprisal_crafted(tmp_path, monkeypatch):
+    """common word scores fewer bits than a rare one; OOV counts tracked.
+    Vocab capped to 2 => only the two most frequent words are in-LM."""
+    monkeypatch.setattr(dataprep, "LM_VOCAB_TOP", 2)
+    texts = [
+        "aa aa aa aa",     # 4x aa
+        "aa bb bb",        # 2x bb
+        "aa cc",           # cc is OOV under the cap
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(3), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (
+        to_df(dataprep.docs_lm_surprisal(str(tmp_path)))
+        .sort_values("doc_id").set_index("doc_id")
+    )
+    # T=9 tokens; c(aa)=6, c(bb)=2, cc OOV (c=1)
+    # bits: aa -> floor(log2(9//6=1))=0; bb -> floor(log2(4))=2; cc -> floor(log2(9))=3
+    assert got.loc[0, "sum_bits"] == 0 and got.loc[0, "n_oov"] == 0
+    assert got.loc[1, "sum_bits"] == 4 and got.loc[1, "n_oov"] == 0
+    assert got.loc[2, "sum_bits"] == 3 and got.loc[2, "n_oov"] == 1
+    assert got.loc[2, "avg_bits"] == 1.5
+    # rare-token doc scores strictly higher than the common-token doc
+    assert got.loc[2, "avg_bits"] > got.loc[0, "avg_bits"]
+
+
+def test_floor_log2_exact_matches_bitlength():
+    q = np.array([1, 2, 3, 4, 7, 8, 1023, 1024, 2**52 - 1, 2**52],
+                 dtype=np.int64)
+    want = np.array([int(x).bit_length() - 1 for x in q], dtype=np.int64)
+    assert (dataprep._floor_log2_exact(q) == want).all()
