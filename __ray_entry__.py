@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_avg": windows.events_sliding_avg,
         "events_user_sessions": windows.events_user_sessions,
         "events_by_segment": windows.events_by_segment,
+        "events_asof_prior": windows.events_asof_prior,
         "flagged_conv_turns": windows.flagged_conv_turns,
         "peaks": windows.peaks,
         "stats": windows.stats,

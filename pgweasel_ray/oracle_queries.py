@@ -638,6 +638,25 @@ FROM x GROUP BY user_id""",
 SELECT c.c_mktsegment, count(*) AS cnt
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1""",
+        # as-of join: greatest right.ts <= left.ts per user; equal-ts ties
+        # -> max event_id (the pipeline's merge_asof pick, made explicit)
+        "events_asof_prior": """
+WITH err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+), clk AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT err.event_id, err.user_id, err.ts,
+         clk.event_id AS prior_event_id, clk.ts AS pts,
+         row_number() OVER (PARTITION BY err.event_id
+                            ORDER BY clk.ts DESC, clk.event_id DESC) AS rn
+  FROM err LEFT JOIN clk
+    ON err.user_id = clk.user_id AND clk.ts <= err.ts
+)
+SELECT event_id, user_id, ts,
+       coalesce(prior_event_id, -1)::BIGINT AS prior_event_id,
+       coalesce(date_diff('microsecond', pts, ts), -1)::BIGINT AS gap_us
+FROM j WHERE rn = 1""",
         "events_sliding_avg": f"""
 WITH h AS (
   SELECT {eh} AS bucket_ts, count(*) AS cnt FROM events

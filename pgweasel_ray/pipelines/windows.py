@@ -270,3 +270,80 @@ def _stats_partial(batch: pa.Table) -> pa.Table:
             "system_events": n(batch["is_system"]),
         }
     )
+
+
+# --- as-of join --------------------------------------------------------------
+
+ASOF_LEFT_TYPE = "error"    # each error event looks back for ...
+ASOF_RIGHT_TYPE = "click"   # ... the user's most recent click
+
+_ASOF_SCHEMA = pa.schema(
+    [("event_id", pa.int64()), ("user_id", pa.int64()),
+     ("ts", pa.timestamp("us")), ("prior_event_id", pa.int64()),
+     ("gap_us", pa.int64())]
+)
+
+
+def _asof_types_only(batch: pa.Table) -> pa.Table:
+    return batch.filter(
+        pc.is_in(batch["event_type"],
+                 value_set=pa.array([ASOF_LEFT_TYPE, ASOF_RIGHT_TYPE]))
+    )
+
+
+def _asof_block(batch: pa.Table) -> pa.Table:
+    """As-of join inside one user-exclusive partition: pandas merge_asof
+    (vectorized backward search) pairs each left row with the right row of
+    greatest ts <= left.ts; right pre-sorted (ts, event_id) so equal-ts
+    ties resolve to the max event_id — the same deterministic pick the
+    oracle's ORDER BY ts DESC, event_id DESC makes."""
+    if batch.num_rows == 0:
+        return _ASOF_SCHEMA.empty_table()
+    df = batch.to_pandas()
+    left = (
+        df[df["event_type"] == ASOF_LEFT_TYPE]
+        .sort_values(["ts", "event_id"])[["event_id", "user_id", "ts"]]
+    )
+    if not len(left):
+        return _ASOF_SCHEMA.empty_table()
+    right = (
+        df[df["event_type"] == ASOF_RIGHT_TYPE]
+        .sort_values(["ts", "event_id"])[["ts", "user_id", "event_id"]]
+        .rename(columns={"event_id": "prior_event_id"})
+    )
+    right = right.assign(pts=right["ts"])  # carry matched ts as payload
+    out = pd.merge_asof(
+        left, right, on="ts", by="user_id",
+        direction="backward", allow_exact_matches=True,
+    )
+    has = out["prior_event_id"].notna().to_numpy()
+    out["prior_event_id"] = out["prior_event_id"].fillna(-1).astype("int64")
+    gap_us = pd.Series(-1, index=out.index, dtype="int64")
+    gap_us[has] = (
+        (out.loc[has, "ts"].to_numpy() - out.loc[has, "pts"].to_numpy())
+        .astype("timedelta64[us]").astype("int64")
+    )
+    out["gap_us"] = gap_us
+    out = out[["event_id", "user_id", "ts", "prior_event_id", "gap_us"]]
+    return pa.Table.from_pandas(out, preserve_index=False).cast(_ASOF_SCHEMA)
+
+
+def events_asof_prior(sf_dir: str) -> Dataset:
+    """AS-OF JOIN — for every 'error' event, the same user's most recent
+    'click' event at-or-before it, plus the gap in microseconds (-1 / -1
+    when none exists). Ray Data has no as-of join operator; per the graft
+    brief's custom-operator rule it composes as hash-partition by the `by`
+    key (user-exclusive keyed blocks, no per-group Python dispatch) + one
+    vectorized pandas merge_asof per block. Partitioning assumption: one
+    user's filtered events fit one worker (salt by time range for
+    pathological users). Scale shape: only the two event types survive the
+    pre-filter, so the one shuffle moves the joined minority, never the
+    full stream."""
+    from .dataprep import _keyed_blocks
+
+    ev = _events(
+        sf_dir, ["event_id", "ts", "user_id", "event_type"]
+    ).map_batches(
+        _asof_types_only, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    return _keyed_blocks(ev, ["user_id"], _asof_block)

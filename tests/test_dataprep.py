@@ -744,3 +744,47 @@ def test_floor_log2_exact_matches_bitlength():
                  dtype=np.int64)
     want = np.array([int(x).bit_length() - 1 for x in q], dtype=np.int64)
     assert (dataprep._floor_log2_exact(q) == want).all()
+
+
+# --- as-of join --------------------------------------------------------------
+
+def test_events_asof_prior_crafted(tmp_path):
+    from pgweasel_ray.pipelines import windows
+
+    def ts(s):
+        return pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+
+    rows = [
+        # user 1: click@10, click@20, error@20 (tie -> click@20), error@25
+        (0, ts(10), 1, "click"), (1, ts(20), 1, "click"),
+        (2, ts(20), 1, "error"), (3, ts(25), 1, "error"),
+        # user 2: error@5 with no prior click; click@30 after it
+        (4, ts(5), 2, "error"), (5, ts(30), 2, "click"),
+        # user 3: two clicks at the SAME ts@7 -> max event_id wins
+        (6, ts(7), 3, "click"), (7, ts(7), 3, "click"),
+        (8, ts(9), 3, "error"),
+        # noise type is pre-filtered out
+        (9, ts(1), 1, "view"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = (
+        to_df(windows.events_asof_prior(str(tmp_path)))
+        .sort_values("event_id").set_index("event_id")
+    )
+    assert list(got.index) == [2, 3, 4, 8]
+    assert got.loc[2, "prior_event_id"] == 1 and got.loc[2, "gap_us"] == 0
+    assert got.loc[3, "prior_event_id"] == 1
+    assert got.loc[3, "gap_us"] == 5_000_000
+    assert got.loc[4, "prior_event_id"] == -1 and got.loc[4, "gap_us"] == -1
+    assert got.loc[8, "prior_event_id"] == 7  # same-ts tie -> max event_id
+    assert got.loc[8, "gap_us"] == 2_000_000
