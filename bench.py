@@ -130,8 +130,16 @@ def run_bench() -> dict:
                           dataprep.docs_pack_sequences),
                          ("dedup_components", dataprep.dedup_components),
                          ("docs_mixture_sample",
-                          dataprep.docs_mixture_sample)):
+                          dataprep.docs_mixture_sample),
+                         ("docs_strip_boilerplate",
+                          dataprep.docs_strip_boilerplate),
+                         ("docs_lm_surprisal",
+                          dataprep.docs_lm_surprisal)):
             timed_e2e(name, fn, SF_DIR)
+
+        from pgweasel_ray.pipelines import windows
+
+        timed_e2e("events_asof_prior", windows.events_asof_prior, SF_DIR)
 
     result = {
         "metric": "parse→route→aggregate throughput (turns/sec)",
