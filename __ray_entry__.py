@@ -69,8 +69,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_types": events.events_top_types,
         "events_value_range": events.events_value_range,
         "events_props_k_sum": events.events_props_k_sum,
+        "events_funnel": events.events_funnel,
+        "events_anomaly": events.events_anomaly,
         # windows / joins / reference-stub commands made real
         "events_sliding_avg": windows.events_sliding_avg,
+        "conv_tool_transitions": windows.conv_tool_transitions,
         "events_user_sessions": windows.events_user_sessions,
         "events_by_segment": windows.events_by_segment,
         "events_asof_prior": windows.events_asof_prior,
@@ -108,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_chunks": dataprep.dedup_chunks,
         "docs_strip_boilerplate": dataprep.docs_strip_boilerplate,
         "docs_lm_surprisal": dataprep.docs_lm_surprisal,
+        "docs_tfidf_topk": dataprep.docs_tfidf_topk,
+        "docs_distinct_hll": dataprep.docs_distinct_hll,
         "docs_shuffle_order": dataprep.docs_shuffle_order,
         "docs_pack_sequences": dataprep.docs_pack_sequences,
         "corpus_export_counts": export.corpus_export_counts,

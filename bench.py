@@ -134,12 +134,18 @@ def run_bench() -> dict:
                          ("docs_strip_boilerplate",
                           dataprep.docs_strip_boilerplate),
                          ("docs_lm_surprisal",
-                          dataprep.docs_lm_surprisal)):
+                          dataprep.docs_lm_surprisal),
+                         ("docs_tfidf_topk", dataprep.docs_tfidf_topk),
+                         ("docs_distinct_hll",
+                          dataprep.docs_distinct_hll)):
             timed_e2e(name, fn, SF_DIR)
 
-        from pgweasel_ray.pipelines import windows
+        from pgweasel_ray.pipelines import events, windows
 
         timed_e2e("events_asof_prior", windows.events_asof_prior, SF_DIR)
+        timed_e2e("events_funnel", events.events_funnel, SF_DIR)
+        timed_e2e("conv_tool_transitions",
+                  windows.conv_tool_transitions, SF_DIR)
 
     result = {
         "metric": "parse→route→aggregate throughput (turns/sec)",

@@ -16,6 +16,7 @@ from __future__ import annotations
 from . import hashing as H
 from . import oracle, patterns
 from .pipelines import core, dataprep
+from .pipelines import events as events_mod
 from .sources.transcripts import ensure_fixture, lookup_path, transcripts_glob
 
 _SQLSTATE = patterns.SQLSTATE_PATTERN
@@ -505,6 +506,51 @@ SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (SELECT vec_id FROM dom)"""
 
 
+def _tfidf_topk_sql() -> str:
+    """TF-IDF replayed literally: same top-V-by-df vocabulary (df desc,
+    word asc), same integer fixed-point idf (N << SHIFT) // df, same
+    per-doc rank (score desc, term asc) — all-integer scores, so no libm
+    log on either side."""
+    v = dataprep.TFIDF_VOCAB_TOP
+    shift = 1 << dataprep.TFIDF_FP_SHIFT
+    k = dataprep.TFIDF_K
+    return rf"""WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS word
+  FROM documents
+), dfc AS (
+  SELECT word, count(DISTINCT doc_id)::BIGINT AS df FROM w GROUP BY word
+), n AS (SELECT count(*)::BIGINT AS n FROM documents),
+voc AS (
+  SELECT word, (n.n * {shift}) // df AS idf_fp
+  FROM dfc, n ORDER BY df DESC, word LIMIT {v}
+), tf AS (
+  SELECT doc_id, word, count(*)::BIGINT AS tf FROM w GROUP BY doc_id, word
+), sc AS (
+  SELECT tf.doc_id, tf.word AS term, tf.tf, tf.tf * v.idf_fp AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * v.idf_fp DESC, tf.word) AS rn
+  FROM tf JOIN voc v ON tf.word = v.word
+)
+SELECT doc_id, term, tf, score FROM sc WHERE rn <= {k}"""
+
+
+def _distinct_hll_sql() -> str:
+    """HLL registers replayed literally: same poly-hash, same bucket/rank
+    split, floor-log2 via length(bin(q)) - 1 (bit-exact vs the pipeline's
+    frexp kernel)."""
+    m = dataprep.HLL_BUCKETS
+    rb = dataprep.HLL_REM_BITS
+    return rf"""WITH w AS (
+  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '\S+')) AS word
+  FROM documents
+), h AS (SELECT {H.sql_poly_hash('word')} AS h FROM w),
+r AS (SELECT h % {m} AS bucket, h // {m} AS rem FROM h)
+SELECT bucket::BIGINT AS bucket,
+       max(CASE WHEN rem = 0 THEN {rb + 1}
+                ELSE {rb} - (length(bin(rem)) - 1) END)::BIGINT AS rho
+FROM r GROUP BY bucket ORDER BY bucket"""
+
+
 def build_oracles(sf_dir: str) -> dict[str, str]:
     ensure_fixture(sf_dir)  # the oracle may run before the Ray query does
     glob = transcripts_glob(sf_dir)
@@ -657,6 +703,40 @@ SELECT event_id, user_id, ts,
        coalesce(prior_event_id, -1)::BIGINT AS prior_event_id,
        coalesce(date_diff('microsecond', pts, ts), -1)::BIGINT AS gap_us
 FROM j WHERE rn = 1""",
+        "events_funnel": f"""
+WITH s AS (
+  SELECT user_id, min(ts) AS fs FROM events
+  WHERE event_type = '{events_mod.FUNNEL_FROM}' GROUP BY user_id
+), c AS (
+  SELECT DISTINCT s.user_id
+  FROM s JOIN events e ON e.user_id = s.user_id
+  WHERE e.event_type = '{events_mod.FUNNEL_TO}'
+    AND e.ts >= s.fs
+    AND e.ts <= s.fs + INTERVAL {events_mod.FUNNEL_WINDOW_S} SECOND
+)
+SELECT (SELECT count(*) FROM s)::BIGINT AS signup_users,
+       (SELECT count(*) FROM c)::BIGINT AS converted_users""",
+        "events_anomaly": f"""
+WITH b AS (
+  SELECT {oracle.bucket_expr(events_mod.ANOM_WIDTH_S)} AS bucket_ts,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1
+), st AS (
+  SELECT count(*)::HUGEINT AS n, sum(cnt)::HUGEINT AS s,
+         sum(cnt::HUGEINT * cnt)::HUGEINT AS q
+  FROM b
+)
+SELECT bucket_ts, cnt FROM b, st
+WHERE (n*cnt - s)*(n*cnt - s) > {events_mod.ANOM_Z * events_mod.ANOM_Z}*(n*q - s*s)
+ORDER BY bucket_ts""",
+        "conv_tool_transitions": f"""
+WITH t AS (
+  SELECT conv_id, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM read_parquet('{glob}')
+)
+SELECT prev AS from_tool, tool AS to_tool, count(*)::BIGINT AS cnt
+FROM t WHERE prev IS NOT NULL GROUP BY 1, 2""",
         "events_sliding_avg": f"""
 WITH h AS (
   SELECT {eh} AS bucket_ts, count(*) AS cnt FROM events
@@ -740,6 +820,8 @@ LIMIT 10""",
         "dedup_chunks": _dedup_chunks_sql(),
         "docs_strip_boilerplate": _strip_boilerplate_sql(),
         "docs_lm_surprisal": _lm_surprisal_sql(),
+        "docs_tfidf_topk": _tfidf_topk_sql(),
+        "docs_distinct_hll": _distinct_hll_sql(),
         "docs_shuffle_order": _shuffle_order_sql(),
         "docs_pack_sequences": _pack_sequences_sql(),
         "corpus_export_counts": _corpus_export_counts_sql(),

@@ -2239,3 +2239,187 @@ def dedup_cluster_best(sf_dir: str) -> pd.DataFrame:
     df = dedup_cluster_best_ds(sf_dir).to_pandas()
     df = df[["component_id", "doc_id", "n_tokens", "n_members"]]
     return df.sort_values("component_id").reset_index(drop=True)
+
+# --- TF-IDF top terms per document --------------------------------------------
+
+TFIDF_K = 3            # distinctive terms reported per document
+TFIDF_VOCAB_TOP = 4096  # sklearn-style max_features vocabulary cap
+TFIDF_FP_SHIFT = 20    # idf fixed-point: idf_fp = (N << 20) // df
+
+
+def _df_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch document-frequency partials: one row per (word) with the
+    number of DISTINCT docs in this batch containing it. A document never
+    spans batches (one doc = one row), so summing partials is the exact
+    global df — the shuffle moves (word, count) pairs, never text."""
+    words = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"\s+")
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(lens)), lens)
+    flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+    keep = flat != ""
+    flat, doc_idx = flat[keep], doc_idx[keep]
+    if not len(flat):
+        return pa.table({"word": pa.array([], type=pa.string()),
+                         "df": pa.array([], type=pa.int64())})
+    uw, codes = np.unique(flat, return_inverse=True)
+    pair = np.unique(doc_idx.astype(np.int64) * len(uw) + codes)
+    dfp = np.bincount(pair % len(uw), minlength=len(uw)).astype(np.int64)
+    return pa.table({"word": pa.array(uw, type=pa.string()),
+                     "df": pa.array(dfp, type=pa.int64())})
+
+
+def _tfidf_block(batch: pa.Table, vocab_ref) -> pa.Table:
+    """Top-TFIDF_K terms for each doc in the batch, entirely vectorized:
+    vocab lookup → per-(doc, term) tf via np.unique on packed keys →
+    integer score tf * idf_fp → per-doc rank by (score desc, term asc).
+    The broadcast vocab is pre-sorted by word asc, so the vocab INDEX is
+    the term tie-break key (no string sorting in the hot path)."""
+    import ray
+
+    vw, vidf = ray.get(vocab_ref) if isinstance(
+        vocab_ref, ray.ObjectRef) else vocab_ref
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "term": pa.array([], type=pa.string()),
+        "tf": pa.array([], type=pa.int64()),
+        "score": pa.array([], type=pa.int64()),
+    })
+    if batch.num_rows == 0:
+        return empty
+    words = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"\s+")
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(lens)), lens)
+    flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+    keep = flat != ""
+    flat, doc_idx = flat[keep], doc_idx[keep]
+    vi = pd.Index(vw).get_indexer(flat)
+    keep = vi >= 0
+    doc_idx, vi = doc_idx[keep], vi[keep]
+    if not len(vi):
+        return empty
+    V = len(vw)
+    uk, tf = np.unique(doc_idx.astype(np.int64) * V + vi,
+                       return_counts=True)
+    d, w = uk // V, uk % V
+    tf = tf.astype(np.int64)
+    score = tf * vidf[w]
+    order = np.lexsort((w, -score, d))
+    d, w, tf, score = d[order], w[order], tf[order], score[order]
+    first = np.r_[True, d[1:] != d[:-1]] if len(d) else np.array([], bool)
+    grp_start = np.maximum.accumulate(
+        np.where(first, np.arange(len(d)), 0))
+    sel = (np.arange(len(d)) - grp_start) < TFIDF_K
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "doc_id": pa.array(ids[d[sel]], type=pa.int64()),
+        "term": pa.array(vw[w[sel]], type=pa.string()),
+        "tf": pa.array(tf[sel], type=pa.int64()),
+        "score": pa.array(score[sel], type=pa.int64()),
+    })
+
+
+def docs_tfidf_topk(sf_dir: str) -> Dataset:
+    """Most-distinctive terms per document: top TFIDF_K by tf·idf over a
+    bounded vocabulary (top TFIDF_VOCAB_TOP words by document frequency —
+    sklearn's ``max_features`` practice, which also keeps the broadcast
+    bounded at any corpus size). idf is integer fixed-point
+    ``(N << TFIDF_FP_SHIFT) // df`` so pipeline and oracle agree bit-for-bit
+    with no libm log (int64-exact for N·2^20·tf < 2^63 — corpora to ~10^10
+    docs; widen the shift down at larger N).
+
+    Scale shape: the df pass is explode → per-block distinct partials →
+    grouped sum (only (word, count) pairs shuffle); exactly TFIDF_VOCAB_TOP
+    (word, idf) rows reach the driver and broadcast via ray.put; scoring +
+    per-doc top-k is one stateless map pass (a doc is one row, so the
+    ranking needs no shuffle at all)."""
+    import ray
+
+    from .common import grouped_count
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        _df_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    df_counts = partials.groupby("word").aggregate(
+        Sum("df", alias_name="df")
+    )
+    voc = (
+        df_counts.sort(["df", "word"], descending=[True, False])
+        .limit(TFIDF_VOCAB_TOP).to_pandas()
+    )
+    voc = voc.sort_values("word").reset_index(drop=True)  # index = tie-break
+    idf_fp = (
+        (np.int64(n_docs) << TFIDF_FP_SHIFT)
+        // voc["df"].to_numpy().astype(np.int64)
+    )
+    ref = ray.put((voc["word"].to_numpy(), idf_fp))
+    return docs.map_batches(
+        _tfidf_block, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"vocab_ref": ref},
+    )
+
+
+# --- HyperLogLog distinct-word sketch -----------------------------------------
+
+HLL_P = 12                      # 2^12 = 4096 registers
+HLL_BUCKETS = 1 << HLL_P
+HLL_REM_BITS = 31 - HLL_P       # poly_hash < 2^31 ⇒ 19 rank bits
+
+
+def _hll_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch HLL register partials over the batch's DISTINCT words:
+    bucket = h mod 2^p, rank ρ = leading-zeros-of-remainder + 1. Emits at
+    most HLL_BUCKETS (bucket, rho) rows per batch; the final merge is a
+    grouped max — registers are max-mergeable, which is the whole point of
+    the sketch (the shuffle is O(registers), independent of corpus size)."""
+    words = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"\s+")
+    flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+    flat = flat[flat != ""]
+    empty = pa.table({"bucket": pa.array([], type=pa.int64()),
+                      "rho": pa.array([], type=pa.int64())})
+    if not len(flat):
+        return empty
+    uw = np.unique(flat)
+    h = H.word_hash_array(list(uw))
+    bucket = h % HLL_BUCKETS
+    rem = h // HLL_BUCKETS
+    rho = np.where(
+        rem == 0, HLL_REM_BITS + 1,
+        HLL_REM_BITS - _floor_log2_exact(np.maximum(rem, 1)),
+    ).astype(np.int64)
+    reg = np.zeros(HLL_BUCKETS, dtype=np.int64)
+    np.maximum.at(reg, bucket, rho)
+    nz = np.nonzero(reg)[0]
+    return pa.table({"bucket": pa.array(nz, type=pa.int64()),
+                     "rho": pa.array(reg[nz], type=pa.int64())})
+
+
+def docs_distinct_hll(sf_dir: str) -> Dataset:
+    """HyperLogLog registers for the distinct-word count of the corpus —
+    the mergeable-sketch pattern: each block computes its own registers
+    (bounded HLL_BUCKETS rows), a grouped MAX merges them, and the final
+    table is 2^HLL_P rows at ANY corpus size. The estimate (±1.04/√m ≈
+    1.6% here) derives from the registers (hll_estimate below); the
+    oracle-checked output is the registers themselves — integer-exact,
+    no float harmonic mean in the comparison."""
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        _hll_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("bucket").aggregate(
+        Max("rho", alias_name="rho")
+    ).sort("bucket")
+
+
+def hll_estimate(registers: pd.DataFrame) -> float:
+    """Standard HLL estimator (Flajolet et al. 2007) from the (bucket, rho)
+    register table, with the small-range linear-counting correction."""
+    m = HLL_BUCKETS
+    reg = np.zeros(m, dtype=np.int64)
+    reg[registers["bucket"].to_numpy()] = registers["rho"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int(np.sum(reg == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)

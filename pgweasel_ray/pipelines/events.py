@@ -81,3 +81,103 @@ def events_value_range(sf_dir: str) -> Dataset:
         Max("value", alias_name="max_value"),
         Count(alias_name="cnt"),
     )
+
+# --- conversion funnel ---------------------------------------------------------
+
+FUNNEL_FROM = "signup"
+FUNNEL_TO = "purchase"
+FUNNEL_WINDOW_S = 7 * 86400   # conversion window after FIRST signup
+
+
+def _funnel_types_only(batch: pa.Table) -> pa.Table:
+    return batch.filter(
+        pc.is_in(batch["event_type"],
+                 value_set=pa.array([FUNNEL_FROM, FUNNEL_TO]))
+    )
+
+
+def _funnel_block(batch: pa.Table) -> pa.Table:
+    """Per-user funnel evaluation for one user-exclusive partition, fully
+    vectorized: first-signup per user (groupby min), then an inner join of
+    purchases against it and a window test. Emits two scalar partials."""
+    import pandas as pd
+
+    if batch.num_rows == 0:
+        return pa.table({"signup_users": pa.array([0], type=pa.int64()),
+                         "converted_users": pa.array([0], type=pa.int64())})
+    df = batch.to_pandas()
+    first = (
+        df[df["event_type"] == FUNNEL_FROM]
+        .groupby("user_id")["ts"].min().rename("fs")
+    )
+    p = df[df["event_type"] == FUNNEL_TO][["user_id", "ts"]]
+    p = p.join(first, on="user_id", how="inner")
+    ok = p[(p["ts"] >= p["fs"])
+           & (p["ts"] <= p["fs"] + pd.Timedelta(seconds=FUNNEL_WINDOW_S))]
+    return pa.table({
+        "signup_users": pa.array([len(first)], type=pa.int64()),
+        "converted_users": pa.array([ok["user_id"].nunique()],
+                                    type=pa.int64()),
+    })
+
+
+def events_funnel(sf_dir: str):
+    """Signup → purchase conversion funnel: how many users ever signed up,
+    and how many of them purchased within FUNNEL_WINDOW_S of their FIRST
+    signup.
+
+    Shape: pre-filter to the two funnel steps (the only rows that move),
+    ONE keyed hash repartition on user_id (user-exclusive blocks), a
+    vectorized per-block funnel evaluation, then a tiny global sum of the
+    two per-block scalars — versus the naive groupby-then-join, this is a
+    single shuffle of the filtered minority. Partitioning assumption: one
+    user's funnel events fit one worker."""
+    import pandas as pd
+
+    from .common import global_sums
+    from .dataprep import _keyed_blocks
+
+    ev = _events(sf_dir, ["user_id", "event_type", "ts"]).map_batches(
+        _funnel_types_only, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    partials = _keyed_blocks(ev, ["user_id"], _funnel_block)
+    sums = global_sums(partials, ["signup_users", "converted_users"])
+    return pd.DataFrame([sums])[["signup_users", "converted_users"]]
+
+
+# --- integer-exact anomaly detection ------------------------------------------
+
+ANOM_WIDTH_S = 3600   # hourly buckets
+ANOM_Z = 3            # |cnt - μ| > Z·σ flags the bucket
+
+
+def _anomaly_block(batch: pa.Table) -> pa.Table:
+    """Flag anomalous buckets with ALL-INTEGER arithmetic (python ints, no
+    overflow): (n·cnt − S)² > Z²·(n·Q − S²) ⟺ (cnt − μ)² > Z²σ² where
+    S = Σcnt, Q = Σcnt², μ = S/n, σ² = (nQ − S²)/n². No float mean/variance
+    whose summation order could diverge from the oracle's."""
+    cnt = [int(c) for c in batch["cnt"].to_pylist()]
+    n, S, Q = len(cnt), sum(cnt), sum(c * c for c in cnt)
+    rhs = ANOM_Z * ANOM_Z * (n * Q - S * S)
+    mask = [((n * c - S) ** 2 > rhs) for c in cnt]
+    return batch.filter(pa.array(mask, type=pa.bool_()))
+
+
+def events_anomaly(sf_dir: str) -> Dataset:
+    """Buckets whose event count deviates from the global mean by more than
+    ANOM_Z standard deviations — the alerting pass of a telemetry pipeline.
+
+    Shape: the heavy part is the distributed pre-aggregated bucket count;
+    the z-test then runs over the POST-AGGREGATE series (one row per hour —
+    tiny at any scale, like events_sliding_avg) in a single block. The test
+    itself is integer-exact so the oracle replays it bit-for-bit in
+    HUGEINT."""
+    ds = _events(sf_dir, ["ts"])
+    bucketed = ds.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"width_s": ANOM_WIDTH_S},
+    ).select_columns(["bucket_ts"])
+    counts = grouped_count(bucketed, ["bucket_ts"]).sort("bucket_ts")
+    return counts.repartition(1).map_batches(
+        _anomaly_block, batch_format="pyarrow", batch_size=None
+    )

@@ -347,3 +347,70 @@ def events_asof_prior(sf_dir: str) -> Dataset:
         _asof_types_only, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
     return _keyed_blocks(ev, ["user_id"], _asof_block)
+
+# --- tool-transition bigrams ---------------------------------------------------
+
+def _transitions_block(batch: pa.Table) -> pa.Table:
+    """Per-conv consecutive-turn tool pairs for one conv-exclusive
+    partition: one lexsort + one shifted compare over the whole block, then
+    a per-block pre-aggregated pair count (the shuffle downstream moves
+    (from_tool, to_tool, cnt) partials only)."""
+    import numpy as np
+
+    empty = pa.table({"from_tool": pa.array([], type=pa.string()),
+                      "to_tool": pa.array([], type=pa.string()),
+                      "cnt": pa.array([], type=pa.int64())})
+    if batch.num_rows < 2:
+        return empty
+    conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+    turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+    tool = batch["tool"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((turn, conv))
+    conv, tool = conv[order], tool[order]
+    same = conv[1:] == conv[:-1]
+    if not same.any():
+        return empty
+    pairs = pa.table({
+        "from_tool": pa.array(tool[:-1][same], type=pa.string()),
+        "to_tool": pa.array(tool[1:][same], type=pa.string()),
+    })
+    agg = pairs.group_by(["from_tool", "to_tool"]).aggregate(
+        [([], "count_all")]
+    )
+    return agg.rename_columns(["from_tool", "to_tool", "cnt"])
+
+
+def _sum_pairs_block(t: pa.Table) -> pa.Table:
+    agg = t.group_by(["from_tool", "to_tool"]).aggregate([("cnt", "sum")])
+    return agg.rename_columns(["from_tool", "to_tool", "cnt"])
+
+
+def conv_tool_transitions(sf_dir: str) -> Dataset:
+    """Markov transition counts between the tools of CONSECUTIVE turns
+    within each conversation (ordered by turn_idx) — the
+    behavioral-sequence operator of a transcript pipeline.
+
+    Shape: keyed hash repartition on conv_id (the skew-sensitive key —
+    same assumption as core.sessions: one conversation fits one block),
+    vectorized shift-compare per block, per-block pre-aggregation, then a
+    two-level TREE block-sum over the pair partials. The tree (not a
+    second keyed groupby) is deliberate twice over: the result is bounded
+    at |tools|² rows so no key needs its own reducer, and a groupby chained
+    onto a _keyed_blocks output would execute under the snapshotted
+    HASH_SHUFFLE context — measured 97 s vs 3.4 s at sf0.001 for this
+    exact pipeline — while non-keyed repartitions are strategy-neutral."""
+    import ray
+
+    from .dataprep import _keyed_blocks
+
+    ds = read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "tool"]
+    ).materialize()
+    partials = _keyed_blocks(ds, ["conv_id"], _transitions_block)
+    n_mid = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    mid = partials.repartition(n_mid).map_batches(
+        _sum_pairs_block, batch_format="pyarrow", batch_size=None
+    )
+    return mid.repartition(1).map_batches(
+        _sum_pairs_block, batch_format="pyarrow", batch_size=None
+    )

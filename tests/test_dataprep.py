@@ -788,3 +788,160 @@ def test_events_asof_prior_crafted(tmp_path):
     assert got.loc[4, "prior_event_id"] == -1 and got.loc[4, "gap_us"] == -1
     assert got.loc[8, "prior_event_id"] == 7  # same-ts tie -> max event_id
     assert got.loc[8, "gap_us"] == 2_000_000
+
+
+# --- TF-IDF top terms ---------------------------------------------------------
+
+def test_tfidf_block_hand_case():
+    """3 docs, full vocab: tf·idf_fp scores and (score desc, term asc)
+    tie-breaks verified by hand."""
+    import ray
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([
+            "apple apple banana",   # tf: apple 2, banana 1
+            "banana cherry",
+            "apple banana cherry",
+        ]),
+    })
+    # vocab sorted by word asc; df: apple 2, banana 3, cherry 2; N = 3
+    vw = np.array(["apple", "banana", "cherry"])
+    df = np.array([2, 3, 2], dtype=np.int64)
+    idf = (np.int64(3) << dataprep.TFIDF_FP_SHIFT) // df
+    got = dataprep._tfidf_block(batch, (vw, idf)).to_pandas()
+    d0 = got[got.doc_id == 0].reset_index(drop=True)
+    # doc 0: apple score 2*idf(2) > banana 1*idf(3)
+    assert list(d0["term"]) == ["apple", "banana"]
+    assert d0.loc[0, "score"] == 2 * idf[0] and d0.loc[1, "score"] == idf[1]
+    # doc 2: all tf=1 -> apple(idf 2) == cherry(idf 2) > banana(idf 3);
+    # equal scores tie-break term asc -> apple before cherry
+    d2 = got[got.doc_id == 2].reset_index(drop=True)
+    assert list(d2["term"]) == ["apple", "cherry", "banana"]
+
+
+def test_tfidf_topk_caps_at_k(tmp_path):
+    words = " ".join(f"w{i}" for i in range(20))
+    t = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array([words, "w0 w1"]),
+        "lang": pa.array(["en", "en"]),
+        "source": pa.array(["a", "a"]),
+        "n_chars": pa.array([len(words), 5], type=pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = to_df(dataprep.docs_tfidf_topk(str(tmp_path)))
+    assert (got.groupby("doc_id").size() <= dataprep.TFIDF_K).all()
+    assert set(got["doc_id"]) == {0, 1}
+
+
+# --- HyperLogLog --------------------------------------------------------------
+
+def test_hll_estimate_within_error():
+    """Registers from the batch kernel over a 50k-distinct synthetic corpus
+    estimate within 3×1.04/√m of the true count (merge across two batches
+    = grouped max, replayed here with np.maximum)."""
+    n = 50_000
+    words = [f"tok{i:06d}" for i in range(n)]
+    half = n // 2
+    b1 = pa.table({"text": pa.array([" ".join(words[:half])])})
+    b2 = pa.table({"text": pa.array([" ".join(words[half:] + words[:100])])})
+    reg = np.zeros(dataprep.HLL_BUCKETS, dtype=np.int64)
+    for b in (b1, b2):
+        part = dataprep._hll_partials(b)
+        np.maximum.at(reg, part["bucket"].to_numpy(),
+                      part["rho"].to_numpy())
+    nz = np.nonzero(reg)[0]
+    est = dataprep.hll_estimate(
+        pd.DataFrame({"bucket": nz, "rho": reg[nz]})
+    )
+    rel_err = 3 * 1.04 / np.sqrt(dataprep.HLL_BUCKETS)
+    assert abs(est - n) / n < rel_err
+
+
+def test_hll_registers_are_merge_invariant():
+    """One batch vs two half-batches produce identical registers —
+    the mergeability property the distributed grouped-max relies on."""
+    words = [f"x{i}" for i in range(2000)]
+    whole = dataprep._hll_partials(
+        pa.table({"text": pa.array([" ".join(words)])})
+    ).to_pandas().set_index("bucket")["rho"]
+    reg = np.zeros(dataprep.HLL_BUCKETS, dtype=np.int64)
+    for chunk in (words[:1000], words[1000:]):
+        p = dataprep._hll_partials(
+            pa.table({"text": pa.array([" ".join(chunk)])})
+        )
+        np.maximum.at(reg, p["bucket"].to_numpy(), p["rho"].to_numpy())
+    merged = pd.Series(reg[reg > 0],
+                       index=np.nonzero(reg)[0].astype("int64"))
+    assert merged.sort_index().equals(whole.sort_index())
+
+
+# --- funnel / anomaly / transitions -------------------------------------------
+
+def test_events_funnel_crafted(tmp_path):
+    from pgweasel_ray.pipelines import events as ev
+
+    def ts(d):
+        return pd.Timestamp("2024-01-01") + pd.Timedelta(days=d)
+
+    rows = [
+        (1, ts(0), "signup"), (1, ts(3), "purchase"),   # converts
+        (2, ts(0), "signup"), (2, ts(8), "purchase"),   # outside 7d window
+        (3, ts(5), "purchase"), (3, ts(6), "signup"),   # purchase BEFORE signup
+        (4, ts(0), "signup"),                            # never purchases
+        (5, ts(2), "purchase"),                          # never signs up
+        (6, ts(1), "signup"), (6, ts(0), "signup"),     # first signup = ts(0)
+        (6, ts(7), "purchase"),                          # exactly at window edge
+    ]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = ev.events_funnel(str(tmp_path))
+    assert int(got.loc[0, "signup_users"]) == 5   # users 1,2,3,4,6
+    assert int(got.loc[0, "converted_users"]) == 2  # users 1 and 6
+
+
+def test_events_anomaly_block_flags_spike():
+    from pgweasel_ray.pipelines import events as ev
+
+    base = [100] * 30
+    t = pa.table({
+        "bucket_ts": pa.array(pd.date_range("2024-01-01", periods=31,
+                                            freq="h")),
+        "cnt": pa.array(base + [1000], type=pa.int64()),
+    })
+    got = ev._anomaly_block(t).to_pandas()
+    assert list(got["cnt"]) == [1000]
+    flat = pa.table({
+        "bucket_ts": pa.array(pd.date_range("2024-01-01", periods=31,
+                                            freq="h")),
+        "cnt": pa.array([100, 101, 99, 100] * 7 + [100, 101, 99],
+                        type=pa.int64()),
+    })
+    assert ev._anomaly_block(flat).num_rows == 0
+
+
+def test_transitions_block_hand_case():
+    from pgweasel_ray.pipelines import windows
+
+    # two interleaved convs; rows arrive turn-shuffled inside the block
+    batch = pa.table({
+        "conv_id": pa.array(["a", "b", "a", "b", "a"]),
+        "turn_idx": pa.array([2, 1, 0, 0, 1], type=pa.int32()),
+        "tool": pa.array(["t3", "t2", "t1", "t1", "t2"]),
+    })
+    got = (
+        windows._transitions_block(batch).to_pandas()
+        .sort_values(["from_tool", "to_tool"]).reset_index(drop=True)
+    )
+    # a: t1->t2->t3 ; b: t1->t2
+    want = {("t1", "t2"): 2, ("t2", "t3"): 1}
+    assert {(r.from_tool, r.to_tool): r.cnt
+            for r in got.itertuples()} == want
