@@ -33,7 +33,7 @@ B2 = 1000033
 MH_NUM_PERM = 64
 MH_BANDS = 16
 MH_ROWS = MH_NUM_PERM // MH_BANDS    # 4 signature slots per band
-MH_GRAM_CHUNK = 262_144              # perm-matrix columns per chunk (~128 MB)
+MH_GRAM_CHUNK = 65_536               # perm-matrix columns per chunk (32 MB)
 MH_SHINGLE = 3                       # word 3-grams
 GRAM_SEP = "\x1f"                    # joins words inside a shingle
 GRAM_PAD = "\x02"                    # pads docs shorter than the shingle
@@ -181,6 +181,16 @@ def fingerprint(text: str) -> int:
 # --- vectorized batch kernels (the Ray-stage hot path) ------------------------
 
 _POW_CACHE: dict[int, np.ndarray] = {}
+_MH_CHUNK_BUF: list = []
+
+
+def _mh_chunk_buffer() -> np.ndarray:
+    """Worker-persistent (MH_NUM_PERM, MH_GRAM_CHUNK) int64 scratch."""
+    if not _MH_CHUNK_BUF:
+        _MH_CHUNK_BUF.append(
+            np.empty((MH_NUM_PERM, MH_GRAM_CHUNK), dtype=np.int64)
+        )
+    return _MH_CHUNK_BUF[0]
 
 
 def _powers(base: int, upto: int) -> np.ndarray:
@@ -363,9 +373,17 @@ def minhash_bands_docs(texts: list[str]) -> np.ndarray:
     )
     n_docs = len(texts)
     sig = np.full((MH_NUM_PERM, n_docs), P, dtype=np.int64)  # hashes < P
+    # one worker-cached chunk buffer + out= kernels: repeated map_batches
+    # calls never fault fresh pages for the perm matrix (large fresh
+    # allocations are mmap-backed and surprisingly expensive to first-touch
+    # on some hosts; the buffer also caps per-task transient memory)
+    buf = _mh_chunk_buffer()
     for a in range(0, len(g), MH_GRAM_CHUNK):
         b = min(len(g), a + MH_GRAM_CHUNK)
-        perms = (MH_A[:, None] * g[None, a:b] + MH_B[:, None]) % P
+        perms = buf[:, : b - a]
+        np.multiply(MH_A[:, None], g[None, a:b], out=perms)
+        np.add(perms, MH_B[:, None], out=perms)
+        np.remainder(perms, P, out=perms)
         inner = gram_starts[(gram_starts > a) & (gram_starts < b)]
         starts = np.concatenate([[a], inner]) - a
         seg_docs = gram_doc[starts + a]  # unique within a chunk
@@ -394,7 +412,9 @@ def simhash62_docs(texts: list[str]) -> np.ndarray:
         hw.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
     )[:, :SH_BITS]
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nonempty]
-    votes = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+    # dtype=int64 accumulates straight from the uint8 bit matrix — the
+    # int64 copy it replaces was 8x the transient memory (n_words × 62 × 8B)
+    votes = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
     sign = (votes * 2 > counts[nonempty, None]).astype(np.int64)
     weights = np.int64(1) << np.arange(SH_BITS, dtype=np.int64)
     out[nonempty] = (sign * weights[None, :]).sum(axis=1)

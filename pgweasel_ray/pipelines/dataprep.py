@@ -1528,7 +1528,7 @@ def corpus_prep(sf_dir: str) -> pd.DataFrame:
 
 
 EMBED_NEARDUP_THRESHOLD = 0.999
-EMB_ND_CHUNK_BUDGET = 32 * 1024 * 1024  # float64 cells per in-bucket matmul
+EMB_ND_CHUNK_BUDGET = 4 * 1024 * 1024   # float64 cells (32 MB) per in-bucket matmul
 
 
 def embed_neardup_ds(sf_dir: str,
