@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": dataprep.ann_lsh_topk,
         "ann_ivf_topk": dataprep.ann_ivf_topk,
         "embed_neardup": dataprep.embed_neardup,
+        "docs_semdedup": dataprep.docs_semdedup,
     }
 
 

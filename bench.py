@@ -137,7 +137,8 @@ def run_bench() -> dict:
                           dataprep.docs_lm_surprisal),
                          ("docs_tfidf_topk", dataprep.docs_tfidf_topk),
                          ("docs_distinct_hll",
-                          dataprep.docs_distinct_hll)):
+                          dataprep.docs_distinct_hll),
+                         ("docs_semdedup", dataprep.docs_semdedup)):
             timed_e2e(name, fn, SF_DIR)
 
         from pgweasel_ray.pipelines import events, windows

@@ -506,6 +506,34 @@ SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (SELECT vec_id FROM dom)"""
 
 
+def _semdedup_sql(sf_dir: str) -> str:
+    """SemDeDup replayed in SQL: the seeded k-means centroids (shared
+    bounded-sample training step, as for IVF) become literals; assignment
+    argmax skips normalization (positive per-row scale never changes an
+    argmax — same rule as _ann_ivf_sql); in-cluster near-dup is the
+    all-pairs smaller-id join."""
+    centroids = dataprep._train_centroids(sf_dir, dataprep.SEMDEDUP_NLIST)
+    cents = "[" + ", ".join(H.sql_float_list(c) for c in centroids) + "]"
+    return f"""WITH d AS (
+  SELECT vec_id, embedding,
+         list_transform({cents}, ct ->
+           list_inner_product(list_transform(embedding, x -> x::DOUBLE), ct))
+           AS dots
+  FROM embeddings
+), asg AS (
+  SELECT vec_id, embedding,
+         list_position(dots, list_max(dots)) - 1 AS cluster
+  FROM d
+), dom AS (
+  SELECT DISTINCT y.vec_id
+  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.embedding, y.embedding)
+        > {dataprep.SEMDEDUP_THRESHOLD!r}
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dom)"""
+
+
 def _tfidf_topk_sql() -> str:
     """TF-IDF replayed literally: same top-V-by-df vocabulary (df desc,
     word asc), same integer fixed-point idf (N << SHIFT) // df, same
@@ -828,4 +856,5 @@ LIMIT 10""",
         "ann_lsh_topk": _ann_lsh_sql(dataprep._embedding_dim(sf_dir)),
         "ann_ivf_topk": _ann_ivf_sql(sf_dir),
         "embed_neardup": _embed_neardup_sql(dataprep._embedding_dim(sf_dir)),
+        "docs_semdedup": _semdedup_sql(sf_dir),
     }

@@ -989,6 +989,57 @@ def _filter_ivf_lists(batch: pa.Table, lists: list[int]) -> pa.Table:
     return batch.filter(pc.fill_null(mask, False))
 
 
+# --- SemDeDup (cluster-blocked embedding dedup) -------------------------------
+
+SEMDEDUP_NLIST = 8
+SEMDEDUP_THRESHOLD = 0.4
+#   0.4 sits inside the fixture's similarity range (max same-cluster pair
+#   ~0.51) so removal is actually exercised, and ≥1e-4 from every pair —
+#   nine orders of magnitude above the ~1e-15 numpy-vs-DuckDB summation
+#   noise the FP caveat (hashing.sql_lsh_bucket_expr docstring) covers.
+
+
+def _ivf_list_as_bucket(batch: pa.Table) -> pa.Table:
+    return batch.rename_columns(
+        ["bucket" if c == "ivf_list" else c for c in batch.column_names]
+    )
+
+
+def docs_semdedup_ds(sf_dir: str, threshold: float = SEMDEDUP_THRESHOLD,
+                     nlist: int = SEMDEDUP_NLIST) -> Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    LEARNED clusters — k-means-partition the embedding space, then drop any
+    vector with a smaller-id cluster-mate above the cosine threshold. The
+    scale shape mirrors the IVF/embed_neardup paths it composes: centroids
+    train on the bounded head sample (driver memory is O(sample), any table
+    size), assignment is a broadcast-centroid map-only matmul, in-cluster
+    similarity runs on the keyed-block path with the chunked matmul (hot
+    clusters cost bounded memory; at 10^12 vectors nlist scales so clusters
+    stay bounded), survivors are a hash-partitioned anti-join. Versus
+    embed_neardup's data-independent LSH planes, k-means blocking is the
+    semantic variant: near-dups land in the same cluster by construction of
+    the quantizer rather than with banding probability. Oracle: centroid
+    literals + argmax assignment + all-pairs in-cluster join in DuckDB."""
+    import ray
+
+    centroids = _train_centroids(sf_dir, nlist)
+    c_ref = ray.put(centroids)
+    assigned = _embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(
+        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"_cls": IvfAssignStage, "_args": (c_ref,)},
+    ).map_batches(
+        _ivf_list_as_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    dom = _keyed_blocks(assigned, ["bucket"], _emb_dom_block,
+                        fn_kwargs={"threshold": threshold})
+    return _survivors(sf_dir, dom, id_col="vec_id")
+
+
+def docs_semdedup(sf_dir: str,
+                  threshold: float = SEMDEDUP_THRESHOLD) -> pd.DataFrame:
+    return _collect_ids(docs_semdedup_ds(sf_dir, threshold), "vec_id")
+
+
 # --- corpus-construction operators -------------------------------------------
 
 SAMPLE_RATE_PCT = 20

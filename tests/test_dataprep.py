@@ -269,6 +269,59 @@ def test_embed_neardup_hot_bucket_chunked(tmp_path, monkeypatch):
     assert len(dominated) >= 100  # the hot bucket really was hot
 
 
+def test_semdedup_matches_local_replay(sf_dir):
+    """SemDeDup vs an independent numpy replay: same seeded k-means
+    centroids, argmax cluster assignment, in-cluster all-pairs cosine with
+    smaller-id domination. Unlike embed_neardup (threshold far above the
+    fixture's similarity range), the SemDeDup threshold sits INSIDE it, so
+    this exercises a non-empty dominated set end-to-end."""
+    got = sorted(dataprep.docs_semdedup(sf_dir)["vec_id"])
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = np.asarray(
+        t["embedding"].combine_chunks().flatten(), dtype=np.float64
+    ).reshape(t.num_rows, -1)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cents = dataprep._train_centroids(sf_dir, dataprep.SEMDEDUP_NLIST)
+    asg = dataprep._det_mm(mn, cents.T).argmax(axis=1)
+    order = np.argsort(ids)
+    ids, mn, asg = ids[order], mn[order], asg[order]
+    dominated = set()
+    for c in range(dataprep.SEMDEDUP_NLIST):
+        idx = np.flatnonzero(asg == c)
+        sims = mn[idx] @ mn[idx].T
+        for jj in range(1, len(idx)):
+            if (sims[jj, :jj] > dataprep.SEMDEDUP_THRESHOLD).any():
+                dominated.add(int(ids[idx[jj]]))
+    want = sorted(set(int(i) for i in ids) - dominated)
+    assert got == want
+    assert 0 < len(dominated) < t.num_rows  # threshold really bites
+
+
+def test_semdedup_crafted_cross_cluster(tmp_path):
+    """Two identical-direction vectors always share the argmax cluster, so
+    SemDeDup removes the larger id even on a crafted table; an orthogonal
+    vector survives regardless of its cluster."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(64)
+    rows = np.stack([base, base * 3.0]
+                    + [rng.standard_normal(64) for _ in range(30)])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(rows)), type=pa.int64()),
+            "embedding": pa.array([r.tolist() for r in rows.astype(np.float32)],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array([0] * len(rows), type=pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    got = sorted(dataprep.docs_semdedup(str(tmp_path))["vec_id"])
+    assert 1 not in got  # scaled copy of 0: same cluster, cosine 1 → dropped
+    assert 0 in got
+
+
 def test_sample_hash_deterministic_and_rate(sf_dir):
     a = sorted(to_df(dataprep.docs_sample_hash(sf_dir))["doc_id"])
     b = sorted(to_df(dataprep.docs_sample_hash(sf_dir))["doc_id"])
