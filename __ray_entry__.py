@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_k_sum": events.events_props_k_sum,
         "events_funnel": events.events_funnel,
         "events_anomaly": events.events_anomaly,
+        "events_retention": events.events_retention,
         # windows / joins / reference-stub commands made real
         "events_sliding_avg": windows.events_sliding_avg,
         "conv_tool_transitions": windows.conv_tool_transitions,
@@ -115,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_distinct_hll": dataprep.docs_distinct_hll,
         "docs_shuffle_order": dataprep.docs_shuffle_order,
         "docs_pack_sequences": dataprep.docs_pack_sequences,
+        "docs_select_budget": dataprep.docs_select_budget,
+        "docs_gopher_filter": dataprep.docs_gopher_filter,
         "corpus_export_counts": export.corpus_export_counts,
         "ann_cosine_topk": dataprep.ann_cosine_topk,
         "ann_lsh_topk": dataprep.ann_lsh_topk,

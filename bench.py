@@ -138,7 +138,9 @@ def run_bench() -> dict:
                          ("docs_tfidf_topk", dataprep.docs_tfidf_topk),
                          ("docs_distinct_hll",
                           dataprep.docs_distinct_hll),
-                         ("docs_semdedup", dataprep.docs_semdedup)):
+                         ("docs_semdedup", dataprep.docs_semdedup),
+                         ("docs_select_budget",
+                          dataprep.docs_select_budget)):
             timed_e2e(name, fn, SF_DIR)
 
         from pgweasel_ray.pipelines import events, windows

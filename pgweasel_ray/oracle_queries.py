@@ -506,6 +506,66 @@ SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (SELECT vec_id FROM dom)"""
 
 
+def _gopher_filter_sql() -> str:
+    """Gopher composite rules replayed literally — every threshold is an
+    integer cross-multiplication (generated from the dataprep constants),
+    and both engines count with RE2, so each rule is bit-exact."""
+    d = dataprep
+    hits = " + ".join(
+        rf"(CASE WHEN len(regexp_extract_all(lower(text), '\b{w}\b')) > 0 "
+        "THEN 1 ELSE 0 END)"
+        for w in d.GOPHER_STOPWORDS
+    )
+    return rf"""WITH q AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{d.TOKEN_PATTERN}'))::BIGINT AS nw,
+         (length(text)
+          - len(regexp_extract_all(text, '{d._WS_CHAR_PATTERN}')))::BIGINT
+           AS wc,
+         (len(regexp_extract_all(text, '#'))
+          + len(regexp_extract_all(text, '\.\.\.')))::BIGINT AS n_sym,
+         len(regexp_extract_all(text, '[^\s]*[A-Za-z][^\s]*'))::BIGINT
+           AS n_alpha,
+         ({hits})::BIGINT AS stop_hits
+  FROM documents
+)
+SELECT doc_id FROM q
+WHERE nw >= {d.GOPHER_MIN_WORDS} AND nw <= {d.GOPHER_MAX_WORDS}
+  AND wc >= {d.GOPHER_MIN_MEAN_WORD_LEN} * nw
+  AND wc <= {d.GOPHER_MAX_MEAN_WORD_LEN} * nw
+  AND n_sym * 100 < {d.GOPHER_MAX_SYMBOL_RATIO_PCT} * nw
+  AND n_alpha * 100 >= {d.GOPHER_MIN_ALPHA_WORD_PCT} * nw
+  AND stop_hits >= {d.GOPHER_MIN_STOPWORD_HITS}"""
+
+
+def _select_budget_sql() -> str:
+    """Token-budget selection replayed literally: same integer fixed-point
+    stop-ratio score (generated from the shared TOKEN/STOPWORDS patterns +
+    SELECT_SCORE_SCALE), same (score DESC, doc_id) rank, same inclusive
+    cumulative-tokens <= total//SELECT_BUDGET_DEN cut — all-integer, so the
+    prefix boundary is exact on both sides."""
+    scale = dataprep.SELECT_SCORE_SCALE
+    den = dataprep.SELECT_BUDGET_DEN
+    tok = dataprep.TOKEN_PATTERN
+    stop = dataprep.STOPWORDS_PATTERN
+    return f"""WITH q AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{tok}'))::BIGINT AS n_tok,
+         (len(regexp_extract_all(lower(text), '{stop}'))::BIGINT * {scale})
+           // greatest(len(regexp_extract_all(text, '{tok}'))::BIGINT, 1)
+           AS score
+  FROM documents
+), tot AS (SELECT CAST(sum(n_tok) AS BIGINT) // {den} AS budget FROM q),
+w AS (
+  SELECT doc_id, n_tok,
+         CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+  FROM q
+)
+SELECT w.doc_id, w.n_tok, w.cum_tok
+FROM w, tot WHERE w.cum_tok <= tot.budget"""
+
+
 def _semdedup_sql(sf_dir: str) -> str:
     """SemDeDup replayed in SQL: the seeded k-means centroids (shared
     bounded-sample training step, as for IVF) become literals; assignment
@@ -688,6 +748,21 @@ SELECT {eh} AS bucket_ts, count(*) AS cnt FROM events
 GROUP BY bucket_ts ORDER BY bucket_ts""",
         "events_top_types": """
 SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type""",
+        "events_retention": f"""
+WITH w AS (
+  SELECT user_id,
+         epoch_us(ts) // {events_mod.RETENTION_WEEK_S * 1_000_000} AS week
+  FROM events
+), c AS (
+  SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id
+), a AS (
+  SELECT DISTINCT w.user_id, c.cohort_week,
+         w.week - c.cohort_week AS week_offset
+  FROM w JOIN c USING (user_id)
+)
+SELECT cohort_week, week_offset, count(*)::BIGINT AS n_users
+FROM a GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset""",
         "events_props_k_sum": r"""
 SELECT event_type,
        sum(try_cast(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS BIGINT))::BIGINT AS sum_k,
@@ -852,6 +927,8 @@ LIMIT 10""",
         "docs_distinct_hll": _distinct_hll_sql(),
         "docs_shuffle_order": _shuffle_order_sql(),
         "docs_pack_sequences": _pack_sequences_sql(),
+        "docs_select_budget": _select_budget_sql(),
+        "docs_gopher_filter": _gopher_filter_sql(),
         "corpus_export_counts": _corpus_export_counts_sql(),
         "ann_lsh_topk": _ann_lsh_sql(dataprep._embedding_dim(sf_dir)),
         "ann_ivf_topk": _ann_ivf_sql(sf_dir),

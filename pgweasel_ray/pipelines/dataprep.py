@@ -1915,7 +1915,8 @@ def docs_strip_boilerplate(sf_dir: str) -> Dataset:
 
 # --- ordered offsets (distributed zipWithIndex) ------------------------------
 
-def _with_global_offsets(ds: Dataset, partial_fn, apply_fn):
+def _with_global_offsets(ds: Dataset, partial_fn, apply_fn,
+                         apply_kwargs: dict | None = None):
     """Two-phase ordered prefix-sum over a (sorted) Dataset's blocks — the
     distributed zipWithIndex pattern. Ray Data's Dataset API has no ordered
     block index, so this is one of the documented drop-to-raw-tasks cases:
@@ -1933,8 +1934,9 @@ def _with_global_offsets(ds: Dataset, partial_fn, apply_fn):
     partials = ray.get([part.remote(r) for r in refs])
     offsets = np.concatenate([[0], np.cumsum(partials)])[:-1]
     app = ray.remote(num_cpus=0.5)(apply_fn)
+    kw = apply_kwargs or {}
     return ray.data.from_arrow_refs(
-        [app.remote(r, int(o)) for r, o in zip(refs, offsets)]
+        [app.remote(r, int(o), **kw) for r, o in zip(refs, offsets)]
     )
 
 
@@ -2047,6 +2049,145 @@ def docs_pack_sequences(sf_dir: str) -> Dataset:
     return partials.groupby("seq_id").aggregate(
         Sum("n_docs", alias_name="n_docs"),
         Sum("n_tokens", alias_name="n_tokens"),
+    )
+
+
+# --- Gopher-style composite quality filter -------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3     # 3 <= total_word_chars / n_words <= 10
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_MAX_SYMBOL_RATIO_PCT = 10   # (# + ellipsis) / words < 10%
+GOPHER_MIN_ALPHA_WORD_PCT = 80     # words containing [A-Za-z] >= 80%
+GOPHER_MIN_STOPWORD_HITS = 2       # distinct stopwords present
+GOPHER_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it"]
+_WS_CHAR_PATTERN = r"[\t\n\f\r ]"   # ASCII \s — the RE2 class \S+ negates
+
+
+def _gopher_filter(batch: pa.Table) -> pa.Table:
+    """Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 A1.1) as
+    ALL-INTEGER comparisons — every ratio threshold is cross-multiplied, so
+    the DuckDB oracle replays each rule bit-for-bit:
+      word count in [50, 100k]; mean word length in [3, 10];
+      '#'/'...' symbol-to-word ratio < 0.1; >= 80% of words contain an
+      alphabetic char; >= 2 distinct stopwords present."""
+    text = batch["text"]
+    lower = pc.utf8_lower(text)
+    nw = pc.cast(pc.count_substring_regex(text, TOKEN_PATTERN), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    n_ws = pc.cast(pc.count_substring_regex(text, _WS_CHAR_PATTERN),
+                   pa.int64()).to_numpy(zero_copy_only=False)
+    wc = n_chars - n_ws                              # chars inside words
+    n_sym = (
+        pc.cast(pc.count_substring(text, "#"), pa.int64())
+        .to_numpy(zero_copy_only=False)
+        + pc.cast(pc.count_substring_regex(text, r"\.\.\."), pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    n_alpha = pc.cast(
+        pc.count_substring_regex(text, r"[^\s]*[A-Za-z][^\s]*"), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    stop_hits = np.zeros(len(nw), dtype=np.int64)
+    for w in GOPHER_STOPWORDS:
+        stop_hits += (
+            pc.cast(pc.count_substring_regex(lower, rf"\b{w}\b"), pa.int64())
+            .to_numpy(zero_copy_only=False) > 0
+        )
+    keep = (
+        (nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS)
+        & (wc >= GOPHER_MIN_MEAN_WORD_LEN * nw)
+        & (wc <= GOPHER_MAX_MEAN_WORD_LEN * nw)
+        & (n_sym * 100 < GOPHER_MAX_SYMBOL_RATIO_PCT * nw)
+        & (n_alpha * 100 >= GOPHER_MIN_ALPHA_WORD_PCT * nw)
+        & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    return pa.table({"doc_id": batch["doc_id"]}).filter(pa.array(keep))
+
+
+def docs_gopher_filter(sf_dir: str) -> Dataset:
+    """The Gopher composite quality FILTER — the multi-rule pass a
+    production pretraining corpus applies after the cheap single-signal
+    filters. Map-only (one vectorized RE2 pass per rule, no shuffle,
+    no text movement)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _gopher_filter, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# --- token-budget corpus selection --------------------------------------------
+
+SELECT_SCORE_SCALE = 1_000_000   # fixed-point stop-ratio quality score
+SELECT_BUDGET_DEN = 4            # budget = total corpus tokens // 4
+
+
+def _select_score(batch: pa.Table) -> pa.Table:
+    text = batch["text"]
+    n_tok = pc.cast(pc.count_substring_regex(text, TOKEN_PATTERN), pa.int64())
+    n_stop = pc.cast(
+        pc.count_substring_regex(pc.utf8_lower(text), STOPWORDS_PATTERN),
+        pa.int64(),
+    )
+    nt = n_tok.to_numpy(zero_copy_only=False)
+    ns = n_stop.to_numpy(zero_copy_only=False)
+    score = ns * SELECT_SCORE_SCALE // np.maximum(nt, 1)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tok": n_tok,
+            "score": pa.array(score.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def _block_tok_sum_budget(t: pa.Table) -> int:
+    if t.num_rows == 0:
+        return 0
+    return int(pc.sum(t["n_tok"]).as_py() or 0)
+
+
+def _apply_budget_cut(t: pa.Table, offset: int, budget: int) -> pa.Table:
+    if t.num_rows == 0:  # schema-less empty sort block
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "n_tok": pa.array([], type=pa.int64()),
+             "cum_tok": pa.array([], type=pa.int64())}
+        )
+    n = t["n_tok"].to_numpy(zero_copy_only=False)
+    cum = offset + np.cumsum(n)
+    keep = cum <= budget
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_tok": t["n_tok"],
+            "cum_tok": pa.array(cum, type=pa.int64()),
+        }
+    ).filter(pa.array(keep))
+
+
+def docs_select_budget(sf_dir: str) -> Dataset:
+    """Token-budget corpus selection: rank every document by an integer
+    fixed-point quality score (stopword ratio scaled by
+    SELECT_SCORE_SCALE — all-integer, so the rank order is oracle-exact),
+    then keep the best-first prefix whose cumulative token count fits the
+    budget (total corpus tokens // SELECT_BUDGET_DEN). This is the
+    "select the best N tokens" primitive a fixed-compute pretraining run
+    applies after scoring.
+
+    Scale shape: scoring is a vectorized RE2 map; only (doc_id, n_tok,
+    score) rows — 24 B each — are materialized, summed and sorted; the
+    budget cut reuses the two-phase block prefix sum (one int per block to
+    the driver), so no stage ever sees document text after the first map."""
+    scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _select_score, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    budget = int(scored.sum("n_tok")) // SELECT_BUDGET_DEN
+    ordered = scored.sort(["score", "doc_id"], descending=[True, False])
+    return _with_global_offsets(
+        ordered, _block_tok_sum_budget, _apply_budget_cut,
+        apply_kwargs={"budget": budget},
     )
 
 

@@ -145,6 +145,96 @@ def events_funnel(sf_dir: str):
     return pd.DataFrame([sums])[["signup_users", "converted_users"]]
 
 
+# --- weekly retention cohorts ---------------------------------------------------
+
+RETENTION_WEEK_S = 7 * 86400
+
+
+def _week_col(batch: pa.Table) -> pa.Table:
+    """(user_id, week) with week = epoch-floored week index (integer
+    microsecond division; timestamps are post-1970 so trunc == floor,
+    matching the oracle's //)."""
+    import numpy as np
+
+    us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+    week = us // (RETENTION_WEEK_S * 1_000_000)
+    return pa.table(
+        {
+            "user_id": batch["user_id"],
+            "week": pa.array(week.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def _retention_block(batch: pa.Table) -> pa.Table:
+    """(cohort_week, week_offset, n_users) partials for one user-exclusive
+    partition, fully vectorized: sort by (user, week); each user's first
+    row is its cohort week (min); consecutive-dedupe gives the user's
+    DISTINCT offsets; a grouped run-length count folds users. Because a
+    user lives in exactly one partition, each contributes at most 1 per
+    (cohort, offset) — summing partials IS the exact distinct-user count,
+    with no global distinct shuffle."""
+    import numpy as np
+
+    empty = pa.table(
+        {"cohort_week": pa.array([], type=pa.int64()),
+         "week_offset": pa.array([], type=pa.int64()),
+         "n_users": pa.array([], type=pa.int64())}
+    )
+    if batch.num_rows == 0:
+        return empty
+    u = batch["user_id"].to_numpy(zero_copy_only=False)
+    w = batch["week"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((w, u))
+    u, w = u[order], w[order]
+    first = np.r_[True, u[1:] != u[:-1]]
+    cohort = w[first][np.cumsum(first) - 1]   # per-row cohort = user's min week
+    off = w - cohort
+    keep = np.r_[True, (u[1:] != u[:-1]) | (off[1:] != off[:-1])]
+    ck, ok = cohort[keep], off[keep]
+    ko = np.lexsort((ok, ck))
+    ck, ok = ck[ko], ok[ko]
+    starts = np.flatnonzero(np.r_[True, (ck[1:] != ck[:-1]) | (ok[1:] != ok[:-1])])
+    counts = np.diff(np.r_[starts, len(ck)])
+    return pa.table(
+        {
+            "cohort_week": pa.array(ck[starts], type=pa.int64()),
+            "week_offset": pa.array(ok[starts], type=pa.int64()),
+            "n_users": pa.array(counts.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def events_retention(sf_dir: str):
+    """Weekly retention cohort matrix: users are cohorted by their
+    first-activity week; n_users counts how many of each cohort were
+    active k weeks later — the classic product-analytics retention table.
+
+    Shape: one map to (user_id, week) — 16 B rows, the text/props never
+    move — one keyed hash repartition on user_id, then a vectorized
+    per-block pass emitting at most one (cohort, offset) row per user.
+    Because a user lives in exactly one partition, summing the partials
+    IS the exact distinct-user count: one shuffle total. The final fold
+    runs on the driver over ≤ partitions × weeks²/2 rows — bounded by the
+    CALENDAR (a 10-year corpus is ~135k pairs), independent of corpus
+    rows, the same bounded-register argument as the HLL estimate.
+    Partitioning assumption: one user's rows fit one worker (as
+    sessions/funnel)."""
+    from .dataprep import _keyed_blocks
+
+    wk = _events(sf_dir, ["user_id", "ts"]).map_batches(
+        _week_col, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    partials = _keyed_blocks(wk, ["user_id"], _retention_block)
+    return (
+        partials.to_pandas()
+        .groupby(["cohort_week", "week_offset"], as_index=False)["n_users"]
+        .sum()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+
+
 # --- integer-exact anomaly detection ------------------------------------------
 
 ANOM_WIDTH_S = 3600   # hourly buckets

@@ -961,6 +961,137 @@ def test_events_funnel_crafted(tmp_path):
     assert int(got.loc[0, "converted_users"]) == 2  # users 1 and 6
 
 
+def test_gopher_filter_each_rule(tmp_path):
+    """One doc passes; each other doc violates exactly one Gopher rule."""
+    stop8 = "the and of to a in is it"
+    texts = [
+        stop8 + " " + " ".join(["word"] * 60),     # 0: passes all
+        stop8 + " words",                           # 1: < 50 words
+        stop8 + " " + " ".join(["x" * 20] * 60),    # 2: mean word len > 10
+        stop8 + " " + " ".join(["#"] * 10 + ["word"] * 50),   # 3: symbols
+        stop8 + " " + " ".join(["1234"] * 60),      # 4: < 80% alpha words
+        " ".join(["word"] * 60),                    # 5: < 2 stopwords
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = sorted(to_df(dataprep.docs_gopher_filter(str(tmp_path)))["doc_id"])
+    assert got == [0]
+
+
+def test_select_budget_local_replay(sf_dir):
+    """Token-budget selection vs an independent pandas replay of the exact
+    rule: integer fixed-point score, (score desc, doc_id) rank, inclusive
+    cumulative cut at total//SELECT_BUDGET_DEN."""
+    import re
+
+    got = (
+        to_df(dataprep.docs_select_budget(sf_dir))
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    ntok = t["text"].map(lambda s: len(re.findall(r"\S+", s))).to_numpy()
+    nstop = t["text"].map(
+        lambda s: len(re.findall(dataprep.STOPWORDS_PATTERN, s.lower()))
+    ).to_numpy()
+    score = nstop * dataprep.SELECT_SCORE_SCALE // np.maximum(ntok, 1)
+    df = pd.DataFrame(
+        {"doc_id": t["doc_id"], "n_tok": ntok, "score": score}
+    ).sort_values(["score", "doc_id"], ascending=[False, True])
+    budget = int(df["n_tok"].sum()) // dataprep.SELECT_BUDGET_DEN
+    df["cum_tok"] = df["n_tok"].cumsum()
+    want = (
+        df[df["cum_tok"] <= budget][["doc_id", "n_tok", "cum_tok"]]
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    assert 0 < len(got) < len(t)  # the budget really cuts
+
+
+def test_select_budget_inclusive_boundary(tmp_path):
+    """cum == budget keeps the doc; the next one is cut. Four 10-token docs
+    with strictly descending stop-ratio scores, budget = 40//4 = 10 → only
+    the best doc fits (its cum is exactly the budget)."""
+    texts = [
+        " ".join(["the"] * 10),            # score 1.0 → kept, cum 10 == 10
+        " ".join(["the"] * 5 + ["zz"] * 5),
+        " ".join(["the"] * 2 + ["zz"] * 8),
+        " ".join(["zz"] * 10),
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array(texts),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = to_df(dataprep.docs_select_budget(str(tmp_path)))
+    assert list(got["doc_id"]) == [0]
+    assert list(got["cum_tok"]) == [10]
+
+
+def test_events_retention_crafted(tmp_path):
+    from pgweasel_ray.pipelines import events as ev
+
+    def ts(d):
+        return pd.Timestamp("2024-01-01") + pd.Timedelta(days=d)
+
+    def wk(d):
+        return int(ts(d).value // 1000) // (ev.RETENTION_WEEK_S * 1_000_000)
+
+    rows = [
+        (1, ts(0)), (1, ts(1)),    # same epoch week → dedupes to offset 0
+        (1, ts(15)),               # two weeks later
+        (2, ts(8)),                # later cohort, single visit
+    ]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array(["visit"] * len(rows)),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = to_df(ev.events_retention(str(tmp_path)))
+    want = pd.DataFrame({
+        "cohort_week": [wk(0), wk(0), wk(8)],
+        "week_offset": [0, wk(15) - wk(0), 0],
+        "n_users": [1, 1, 1],
+    }).sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype("int64"), want.astype("int64")
+    )
+    assert wk(1) == wk(0) and wk(15) - wk(0) == 2  # the crafted geometry holds
+
+
+def test_events_retention_local_replay(sf_dir):
+    from pgweasel_ray.pipelines import events as ev
+
+    got = to_df(ev.events_retention(sf_dir)).reset_index(drop=True)
+    df = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).to_pandas()
+    week_us = ev.RETENTION_WEEK_S * 1_000_000
+    df["week"] = df["ts"].astype("datetime64[us]").astype("int64") // week_us
+    cohort = df.groupby("user_id")["week"].min().rename("cohort_week")
+    j = df.join(cohort, on="user_id")
+    j["week_offset"] = j["week"] - j["cohort_week"]
+    want = (
+        j.drop_duplicates(["user_id", "week_offset"])
+        .groupby(["cohort_week", "week_offset"]).size().rename("n_users")
+        .reset_index().sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
 def test_events_anomaly_block_flags_spike():
     from pgweasel_ray.pipelines import events as ev
 
