@@ -140,13 +140,16 @@ def run_bench() -> dict:
                           dataprep.docs_distinct_hll),
                          ("docs_semdedup", dataprep.docs_semdedup),
                          ("docs_select_budget",
-                          dataprep.docs_select_budget)):
+                          dataprep.docs_select_budget),
+                         ("docs_gopher_filter",
+                          dataprep.docs_gopher_filter)):
             timed_e2e(name, fn, SF_DIR)
 
         from pgweasel_ray.pipelines import events, windows
 
         timed_e2e("events_asof_prior", windows.events_asof_prior, SF_DIR)
         timed_e2e("events_funnel", events.events_funnel, SF_DIR)
+        timed_e2e("events_retention", events.events_retention, SF_DIR)
         timed_e2e("conv_tool_transitions",
                   windows.conv_tool_transitions, SF_DIR)
 
