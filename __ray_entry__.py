@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": events.events_funnel,
         "events_anomaly": events.events_anomaly,
         "events_retention": events.events_retention,
+        "events_value_quantiles": events.events_value_quantiles,
         # windows / joins / reference-stub commands made real
         "events_sliding_avg": windows.events_sliding_avg,
         "conv_tool_transitions": windows.conv_tool_transitions,

@@ -748,6 +748,18 @@ SELECT {eh} AS bucket_ts, count(*) AS cnt FROM events
 GROUP BY bucket_ts ORDER BY bucket_ts""",
         "events_top_types": """
 SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type""",
+        "events_value_quantiles": f"""
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) - 1
+           AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, p.pct::BIGINT AS pct, value
+FROM r JOIN (VALUES {', '.join(f'({p})' for p in events_mod.EVQ_PCTS)})
+  p(pct) ON r.rk = (p.pct * (r.n - 1)) // 100
+ORDER BY event_type, pct""",
         "events_retention": f"""
 WITH w AS (
   SELECT user_id,

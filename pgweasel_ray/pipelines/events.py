@@ -145,6 +145,101 @@ def events_funnel(sf_dir: str):
     return pd.DataFrame([sums])[["signup_users", "converted_users"]]
 
 
+# --- per-group exact value quantiles --------------------------------------------
+
+EVQ_PCTS = (0, 25, 50, 75, 100)
+
+
+def _evq_block_counts(t: pa.Table) -> dict:
+    """Phase 1: per-event_type row count of one sorted block (tiny dict to
+    the driver)."""
+    if t.num_rows == 0:
+        return {}
+    agg = t.group_by(["event_type"]).aggregate([([], "count_all")])
+    cnt_col = [c for c in agg.column_names if c != "event_type"][0]
+    return dict(zip(agg["event_type"].to_pylist(),
+                    agg[cnt_col].to_pylist()))
+
+
+def _evq_pick(t: pa.Table, offsets: dict, targets: dict) -> pa.Table:
+    """Phase 2: emit rows of one sorted block whose within-group GLOBAL
+    rank (block offset + local rank) is a requested quantile index."""
+    import numpy as np
+
+    empty = pa.table(
+        {"event_type": pa.array([], type=pa.string()),
+         "pct": pa.array([], type=pa.int64()),
+         "value": pa.array([], type=pa.float64())}
+    )
+    if t.num_rows == 0:
+        return empty
+    et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    vals = t["value"].to_numpy(zero_copy_only=False)
+    starts = np.r_[0, np.flatnonzero(et[1:] != et[:-1]) + 1]
+    out_e, out_p, out_v = [], [], []
+    for s in starts:
+        g = et[s]
+        e = s + 1
+        while e < len(et) and et[e] == g:
+            e += 1
+        base = offsets.get(g, 0)
+        for pct, rank in targets.get(g, ()):
+            local = rank - base
+            if 0 <= local < e - s:
+                out_e.append(g)
+                out_p.append(pct)
+                out_v.append(float(vals[s + local]))
+    return pa.table(
+        {"event_type": pa.array(out_e, type=pa.string()),
+         "pct": pa.array(out_p, type=pa.int64()),
+         "value": pa.array(out_v, type=pa.float64())}
+    )
+
+
+def events_value_quantiles(sf_dir: str, pcts: tuple[int, ...] = EVQ_PCTS):
+    """EXACT per-event_type quantiles of the continuous ``value`` column
+    (index = pct·(n−1)//100 of each group's sorted values). Unlike the
+    count-fold length quantiles (low-cardinality values), ``value`` is
+    continuous — a (value, count) histogram would move every distinct
+    value. Instead: ONE distributed sort by (event_type, value), then the
+    two-phase block-offset machinery generalized per group — phase 1
+    returns a tiny {group: count} dict per block, the driver cumsums
+    per-group block offsets and computes each group's target ranks, phase
+    2 emits only the selected rows. Driver state is blocks × groups ints;
+    no value column ever leaves the object store except the ≤|groups|·|pcts|
+    winners. Tie runs make any rank choice value-identical, so the float
+    is bit-equal to the oracle's row_number selection."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    ordered = _events(sf_dir, ["event_type", "value"]) \
+        .sort(["event_type", "value"]).materialize()
+    refs = ordered.to_arrow_refs()
+    part = ray.remote(num_cpus=0.25)(_evq_block_counts)
+    per_block = ray.get([part.remote(r) for r in refs])
+    groups = sorted({g for d in per_block for g in d})
+    totals = {g: sum(d.get(g, 0) for d in per_block) for g in groups}
+    targets = {
+        g: tuple((pct, pct * (totals[g] - 1) // 100) for pct in pcts)
+        for g in groups if totals[g] > 0
+    }
+    offsets = []
+    run = dict.fromkeys(groups, 0)
+    for d in per_block:
+        offsets.append(dict(run))
+        for g, c in d.items():
+            run[g] += c
+    app = ray.remote(num_cpus=0.25)(_evq_pick)
+    picked = ray.data.from_arrow_refs(
+        [app.remote(r, o, targets) for r, o in zip(refs, offsets)]
+    )
+    return (
+        picked.to_pandas()
+        .sort_values(["event_type", "pct"]).reset_index(drop=True)
+    )
+
+
 # --- weekly retention cohorts ---------------------------------------------------
 
 RETENTION_WEEK_S = 7 * 86400

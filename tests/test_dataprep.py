@@ -1036,6 +1036,48 @@ def test_select_budget_inclusive_boundary(tmp_path):
     assert list(got["cum_tok"]) == [10]
 
 
+def test_events_value_quantiles_crafted(tmp_path):
+    from pgweasel_ray.pipelines import events as ev
+
+    rng = np.random.default_rng(3)
+    vals_a = rng.permutation(np.arange(101, dtype=np.float64))  # 0..100
+    vals_b = np.array([7.0, 3.0, 11.0])
+    vals = np.concatenate([vals_a, vals_b])
+    types = ["a"] * len(vals_a) + ["b"] * len(vals_b)
+    t = pa.table({
+        "event_id": pa.array(range(len(vals)), type=pa.int64()),
+        "ts": pa.array([pd.Timestamp("2024-01-01")] * len(vals),
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([0] * len(vals), type=pa.int64()),
+        "event_type": pa.array(types),
+        "value": pa.array(vals, type=pa.float64()),
+        "props": pa.array(["{}"] * len(vals)),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = ev.events_value_quantiles(str(tmp_path))
+    a = got[got["event_type"] == "a"].set_index("pct")["value"]
+    assert list(a.loc[[0, 25, 50, 75, 100]]) == [0.0, 25.0, 50.0, 75.0, 100.0]
+    b = got[got["event_type"] == "b"].set_index("pct")["value"]
+    # n=3: idx = pct*2//100 → 0,0,1,1,2
+    assert list(b.loc[[0, 25, 50, 75, 100]]) == [3.0, 3.0, 7.0, 7.0, 11.0]
+
+
+def test_evq_pick_group_spans_blocks():
+    """A group split across two sorted blocks: the target rank lands in
+    the SECOND block and must be located via the per-block group offset."""
+    from pgweasel_ray.pipelines import events as ev
+
+    b1 = pa.table({"event_type": pa.array(["g", "g"]),
+                   "value": pa.array([1.0, 2.0])})
+    b2 = pa.table({"event_type": pa.array(["g", "g", "h"]),
+                   "value": pa.array([3.0, 4.0, 9.0])})
+    targets = {"g": ((75, 2),), "h": ((50, 0),)}  # rank 2 of g = 3.0
+    got1 = ev._evq_pick(b1, {"g": 0}, targets).to_pandas()
+    got2 = ev._evq_pick(b2, {"g": 2, "h": 0}, targets).to_pandas()
+    assert len(got1) == 0                      # rank 2 not in block 1
+    assert list(got2["value"]) == [3.0, 9.0]   # found via offset in block 2
+
+
 def test_events_retention_crafted(tmp_path):
     from pgweasel_ray.pipelines import events as ev
 
