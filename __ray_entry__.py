@@ -32,24 +32,82 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # DICT ORDER IS LOAD-BEARING: the driver's correctness gate checks only
+    # the FIRST 50 entries. Policy (VERDICT r03 item #1): never-driver-green
+    # queries first, then queries whose implementation changed this round,
+    # then a rotation of recently-green ones; long-stable parity queries
+    # (green since r01) sit past slot 50. tests/test_query_window.py pins
+    # the must-verify set inside the window.
     from pgweasel_ray.pipelines import (core, dataprep, events, export,
                                         router, windows)
 
     return {
-        # pgweasel parity — errors family (SURVEY §2.3 F1, §2.4 A1/A2, §3.1)
+        # --- tier A: failed r01 / never re-checked by the driver ---------
+        "ann_lsh_topk": dataprep.ann_lsh_topk,
+        "ann_ivf_topk": dataprep.ann_ivf_topk,
+        "embed_neardup": dataprep.embed_neardup,
+        # --- tier A: added r03, never inside the driver window -----------
+        "corpus_export_counts": export.corpus_export_counts,
+        "dedup_chunks": dataprep.dedup_chunks,
+        "docs_distinct_hll": dataprep.docs_distinct_hll,
+        "docs_gopher_filter": dataprep.docs_gopher_filter,
+        "docs_lm_surprisal": dataprep.docs_lm_surprisal,
+        "docs_mixture_sample": dataprep.docs_mixture_sample,
+        "docs_normalize": dataprep.docs_normalize,
+        "docs_pack_sequences": dataprep.docs_pack_sequences,
+        "docs_repetition": dataprep.docs_repetition,
+        "docs_select_budget": dataprep.docs_select_budget,
+        "docs_semdedup": dataprep.docs_semdedup,
+        "docs_shuffle_order": dataprep.docs_shuffle_order,
+        "docs_strip_boilerplate": dataprep.docs_strip_boilerplate,
+        "docs_tfidf_topk": dataprep.docs_tfidf_topk,
+        "docs_topk_per_source": dataprep.docs_topk_per_source,
+        # --- tier B: implementation touched in round 4 -------------------
+        "dedup_incremental": dataprep.dedup_incremental,
+        "dedup_ngram_jaccard": dataprep.dedup_ngram_jaccard,
+        "events_user_sessions": windows.events_user_sessions,
+        "routed_counts": router.routed_counts,
+        # --- tier B: new in round 4 ---------------------------------------
+        "multimodal_image_stats": dataprep.multimodal_image_stats,
+        "docs_minhash_sim_topk": dataprep.docs_minhash_sim_topk,
+        "docs_line_dedup": dataprep.docs_line_dedup,
+        # --- tier C: r02-green, pushed out of the r03 window --------------
+        "ann_cosine_topk": dataprep.ann_cosine_topk,
+        "docs_lang_id": dataprep.docs_lang_id,
+        "docs_fingerprint": dataprep.docs_fingerprint,
+        "docs_scrub": dataprep.docs_scrub,
+        "corpus_prep": dataprep.corpus_prep,
+        "docs_decontaminate": dataprep.docs_decontaminate,
+        "docs_vocab_topk": dataprep.docs_vocab_topk,
+        "docs_sample_hash": dataprep.docs_sample_hash,
+        "docs_length_quantiles": dataprep.docs_length_quantiles,
+        # --- tier D: r03-green rotation (dataprep + recent events ops) ----
+        "dedup_exact": dataprep.dedup_exact,
+        "dedup_minhash": dataprep.dedup_minhash,
+        "dedup_components": dataprep.dedup_components,
+        "dedup_cluster_best": dataprep.dedup_cluster_best,
+        "dedup_simhash": dataprep.dedup_simhash,
+        "docs_token_stats": dataprep.docs_token_stats,
+        "docs_bpe_tokens": dataprep.docs_bpe_tokens,
+        "docs_quality": dataprep.docs_quality,
+        "docs_quality_filter": dataprep.docs_quality_filter,
+        "events_value_quantiles": events.events_value_quantiles,
+        "events_retention": events.events_retention,
+        "events_funnel": events.events_funnel,
+        "events_anomaly": events.events_anomaly,
+        "events_asof_prior": windows.events_asof_prior,
         "errors_list": core.errors_list,
         "errors_by_severity": core.errors_by_severity,
+        # ---- slot 50 boundary: entries below are long-stable (green since
+        # r01/r02) and fall outside the driver's window this round ---------
         "errors_top_messages": core.errors_top_messages,
         "errors_hist": core.errors_hist,
         "errors_masked": core.errors_masked,       # F3 mask/contains
         "errors_window": core.errors_window,       # F2 time range
-        # slow family (F4, A3, §3.2)
         "slow_list": core.slow_list,
         "slow_top": core.slow_top,
-        # locks / system (F5, F6)
         "locks": core.locks,
         "system": core.system,
-        # connections (A4, §3.3)
         "connections_summary": core.connections_summary,
         "connections_by_host": core.connections_by_host,
         "connections_by_user": core.connections_by_user,
@@ -58,73 +116,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connections_by_bucket": core.connections_by_bucket,
         "errors_by_sqlstate": core.errors_by_sqlstate,
         "disconnections_by_host": core.disconnections_by_host,
-        # north_star additions
         "sessions": core.sessions,
         "sessions_top_errors": core.sessions_top_errors,
         "conv_first_error": core.conv_first_error,
         "enriched_severity_counts": core.enriched_severity_counts,
-        "routed_counts": router.routed_counts,
-        # aggregate layer over the native events table
         "events_per_hour": events.events_per_hour,
         "events_top_types": events.events_top_types,
         "events_value_range": events.events_value_range,
         "events_props_k_sum": events.events_props_k_sum,
-        "events_funnel": events.events_funnel,
-        "events_anomaly": events.events_anomaly,
-        "events_retention": events.events_retention,
-        "events_value_quantiles": events.events_value_quantiles,
-        # windows / joins / reference-stub commands made real
         "events_sliding_avg": windows.events_sliding_avg,
         "conv_tool_transitions": windows.conv_tool_transitions,
-        "events_user_sessions": windows.events_user_sessions,
         "events_by_segment": windows.events_by_segment,
-        "events_asof_prior": windows.events_asof_prior,
         "flagged_conv_turns": windows.flagged_conv_turns,
         "peaks": windows.peaks,
         "stats": windows.stats,
-        # training-data ops (documents / embeddings) — every one
-        # oracle-checked: the dedup/ANN/fingerprint oracles replay the same
-        # deterministic algorithm in DuckDB from shared hashing.py constants
-        "dedup_exact": dataprep.dedup_exact,
-        "dedup_incremental": dataprep.dedup_incremental,
-        "dedup_minhash": dataprep.dedup_minhash,
-        "dedup_components": dataprep.dedup_components,
-        "dedup_cluster_best": dataprep.dedup_cluster_best,
-        "dedup_ngram_jaccard": dataprep.dedup_ngram_jaccard,
-        "dedup_simhash": dataprep.dedup_simhash,
-        "docs_token_stats": dataprep.docs_token_stats,
-        "docs_bpe_tokens": dataprep.docs_bpe_tokens,
-        "docs_quality": dataprep.docs_quality,
-        "docs_quality_filter": dataprep.docs_quality_filter,
-        "docs_lang_id": dataprep.docs_lang_id,
-        "docs_fingerprint": dataprep.docs_fingerprint,
-        # corpus construction: sampling / vocab / decontamination / quantiles
-        # + the composed quality→dedup→decontaminate recipe
-        "corpus_prep": dataprep.corpus_prep,
-        "docs_scrub": dataprep.docs_scrub,
-        "docs_repetition": dataprep.docs_repetition,
-        "docs_sample_hash": dataprep.docs_sample_hash,
-        "docs_mixture_sample": dataprep.docs_mixture_sample,
-        "docs_topk_per_source": dataprep.docs_topk_per_source,
-        "docs_vocab_topk": dataprep.docs_vocab_topk,
-        "docs_decontaminate": dataprep.docs_decontaminate,
-        "docs_length_quantiles": dataprep.docs_length_quantiles,
-        "docs_normalize": dataprep.docs_normalize,
-        "dedup_chunks": dataprep.dedup_chunks,
-        "docs_strip_boilerplate": dataprep.docs_strip_boilerplate,
-        "docs_lm_surprisal": dataprep.docs_lm_surprisal,
-        "docs_tfidf_topk": dataprep.docs_tfidf_topk,
-        "docs_distinct_hll": dataprep.docs_distinct_hll,
-        "docs_shuffle_order": dataprep.docs_shuffle_order,
-        "docs_pack_sequences": dataprep.docs_pack_sequences,
-        "docs_select_budget": dataprep.docs_select_budget,
-        "docs_gopher_filter": dataprep.docs_gopher_filter,
-        "corpus_export_counts": export.corpus_export_counts,
-        "ann_cosine_topk": dataprep.ann_cosine_topk,
-        "ann_lsh_topk": dataprep.ann_lsh_topk,
-        "ann_ivf_topk": dataprep.ann_ivf_topk,
-        "embed_neardup": dataprep.embed_neardup,
-        "docs_semdedup": dataprep.docs_semdedup,
     }
 
 

@@ -65,12 +65,14 @@ def run_bench() -> dict:
     # cluster job sits in.
     out_dir = f"/dev/shm/pgweasel_ray_bench/routed-{NCPU}"
     walls = []
-    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
+    loadavgs = [os.getloadavg()[0]]   # co-tenant-load context for the
+    n_runs = int(os.environ.get("BENCH_RUNS", "4"))  # recorded snapshot
     for i in range(n_runs):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.monotonic()
         manifest = router.route(SF_DIR, out_dir=out_dir, num_shards=1)
         walls.append(time.monotonic() - t0)
+        loadavgs.append(os.getloadavg()[0])
     flagship_sec = min(walls[1:])
     turns = manifest.total_rows()
 
@@ -164,6 +166,11 @@ def run_bench() -> dict:
         "num_cpus": NCPU,
         "turns": turns,
         "turns_per_sec": round(turns / flagship_sec, 1),
+        # 1-min loadavg before the flagship and after each run: a snapshot
+        # above the quiet band (BASELINE.md) is load-correlated, not a
+        # regression, when these sit well above NCPU-independent baseline
+        "loadavg": [round(x, 2) for x in loadavgs],
+        "flagship_walls": [round(x, 3) for x in walls],
     }
     ray.shutdown()
     return result
@@ -218,6 +225,7 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "sf": lo["sf"],
         "turns": lo["turns"],
+        "loadavg": [r.get("loadavg", []) for r in (lo, hi)],
     }
 
 

@@ -184,13 +184,17 @@ _POW_CACHE: dict[int, np.ndarray] = {}
 _MH_CHUNK_BUF: list = []
 
 
-def _mh_chunk_buffer() -> np.ndarray:
-    """Worker-persistent (MH_NUM_PERM, MH_GRAM_CHUNK) int64 scratch."""
-    if not _MH_CHUNK_BUF:
-        _MH_CHUNK_BUF.append(
-            np.empty((MH_NUM_PERM, MH_GRAM_CHUNK), dtype=np.int64)
-        )
-    return _MH_CHUNK_BUF[0]
+def _mh_chunk_buffer(width: int | None = None) -> np.ndarray:
+    """Worker-persistent (MH_NUM_PERM, >=width) int64 scratch. Sized to the
+    REQUESTED width per call (grown, never shrunk): a buffer frozen at the
+    first call's MH_GRAM_CHUNK would under-allocate if that first call ran
+    while the chunk constant was monkeypatched smaller."""
+    width = MH_GRAM_CHUNK if width is None else width
+    buf = _MH_CHUNK_BUF[0] if _MH_CHUNK_BUF else None
+    if buf is None or buf.shape[1] < width:
+        buf = np.empty((MH_NUM_PERM, width), dtype=np.int64)
+        _MH_CHUNK_BUF[:] = [buf]
+    return buf
 
 
 def _powers(base: int, upto: int) -> np.ndarray:
@@ -366,6 +370,18 @@ def minhash_bands_docs(texts: list[str]) -> np.ndarray:
     path (asserted in tests, including across chunk boundaries)."""
     if not texts:
         return np.empty((0, MH_BANDS), dtype=np.int64)
+    sig = minhash_sigs_docs(texts)
+    slots = sig.reshape(MH_BANDS, MH_ROWS, -1)
+    return ((((slots * MH_C[None, :, None]) % P).sum(axis=1)) % P).T
+
+
+def minhash_sigs_docs(texts: list[str]) -> np.ndarray:
+    """(MH_NUM_PERM, n_docs) MinHash signature matrix for a whole batch —
+    the flat chunked-perm kernel minhash_bands_docs reduces over, exposed
+    so signature-level operators (docs_minhash_sim_topk) share it. Column
+    j equals minhash_signature(gram_hashes(texts[j]))."""
+    if not texts:
+        return np.empty((MH_NUM_PERM, 0), dtype=np.int64)
     g, gram_doc = gram_hash_flat(texts)
     # every doc has >= 1 gram (padding), and grams are doc-contiguous
     gram_starts = np.concatenate(
@@ -377,7 +393,7 @@ def minhash_bands_docs(texts: list[str]) -> np.ndarray:
     # calls never fault fresh pages for the perm matrix (large fresh
     # allocations are mmap-backed and surprisingly expensive to first-touch
     # on some hosts; the buffer also caps per-task transient memory)
-    buf = _mh_chunk_buffer()
+    buf = _mh_chunk_buffer(MH_GRAM_CHUNK)
     for a in range(0, len(g), MH_GRAM_CHUNK):
         b = min(len(g), a + MH_GRAM_CHUNK)
         perms = buf[:, : b - a]
@@ -389,8 +405,7 @@ def minhash_bands_docs(texts: list[str]) -> np.ndarray:
         seg_docs = gram_doc[starts + a]  # unique within a chunk
         mins = np.minimum.reduceat(perms, starts, axis=1)
         sig[:, seg_docs] = np.minimum(sig[:, seg_docs], mins)
-    slots = sig.reshape(MH_BANDS, MH_ROWS, -1)
-    return ((((slots * MH_C[None, :, None]) % P).sum(axis=1)) % P).T
+    return sig
 
 
 def simhash62_docs(texts: list[str]) -> np.ndarray:

@@ -585,9 +585,14 @@ def _semdedup_sql(sf_dir: str) -> str:
          list_position(dots, list_max(dots)) - 1 AS cluster
   FROM d
 ), dom AS (
+  -- cosine in float64 on BOTH sides (the pipeline computes in normalized
+  -- float64; raw FLOAT lists would add ~1e-7 float32 noise against the
+  -- threshold margin)
   SELECT DISTINCT y.vec_id
   FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-  WHERE list_cosine_similarity(x.embedding, y.embedding)
+  WHERE list_cosine_similarity(
+          list_transform(x.embedding, v -> v::DOUBLE),
+          list_transform(y.embedding, v -> v::DOUBLE))
         > {dataprep.SEMDEDUP_THRESHOLD!r}
 )
 SELECT vec_id FROM embeddings
@@ -637,6 +642,75 @@ SELECT bucket::BIGINT AS bucket,
        max(CASE WHEN rem = 0 THEN {rb + 1}
                 ELSE {rb} - (length(bin(rem)) - 1) END)::BIGINT AS rho
 FROM r GROUP BY bucket ORDER BY bucket"""
+
+
+def _multimodal_image_stats_sql() -> str:
+    """The deterministic image law (stages/multimodal.py SYNTH_* — the
+    parity source) replayed in SQL: per-doc header fields from the same
+    modular arithmetic, px_sum via a lateral generate-series over the
+    pixel index — so the oracle checks the DECODED stats, exercising the
+    actor-pool decode stage end to end. All-integer."""
+    from .stages import multimodal as MM
+
+    return f"""WITH p AS (
+  SELECT doc_id,
+         ({MM.SYNTH_H_BASE} + doc_id % {MM.SYNTH_H_MOD})::BIGINT AS height,
+         ({MM.SYNTH_W_BASE} + doc_id % {MM.SYNTH_W_MOD})::BIGINT AS width,
+         (1 + doc_id % {MM.SYNTH_C_MOD})::BIGINT AS channels,
+         (doc_id * {MM.SYNTH_PX_A}) % 256 AS base,
+         1 + doc_id % {MM.SYNTH_STEP_MOD} AS step
+  FROM documents
+)
+SELECT p.doc_id, p.height, p.width, p.channels,
+       (p.height * p.width * p.channels)::BIGINT AS n_px,
+       sum((p.base + g.i * p.step) % 256)::BIGINT AS px_sum
+FROM p CROSS JOIN LATERAL (
+  SELECT unnest(range(0, p.height * p.width * p.channels)) AS i
+) g
+GROUP BY p.doc_id, p.height, p.width, p.channels"""
+
+
+def _line_dedup_sql() -> str:
+    """Line dedup replayed literally on line STRINGS: min packed
+    (doc_id << LINE_IDX_BITS | idx) per distinct line, kept-per-doc counts,
+    left join for all-lines-duplicated docs. Equivalent to the pipeline's
+    128-bit line-hash grouping modulo the usual collision odds."""
+    mod = 1 << dataprep.LINE_IDX_BITS
+    return """WITH t AS (
+  SELECT doc_id, str_split(text, chr(10)) AS ls FROM documents
+), l AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) - 1 AS idx
+  FROM t
+), m AS (
+  SELECT min(doc_id * {mod} + idx) AS keep FROM l GROUP BY line
+), k AS (
+  SELECT keep // {mod} AS doc_id, count(*)::BIGINT AS n_kept
+  FROM m GROUP BY 1
+)
+SELECT t.doc_id, len(t.ls)::BIGINT AS n_lines,
+       coalesce(k.n_kept, 0)::BIGINT AS n_kept
+FROM t LEFT JOIN k ON t.doc_id = k.doc_id""".format(mod=mod)
+
+
+def _minhash_sim_topk_sql() -> str:
+    """MinHash similarity top-k replayed from the shared signature CTE:
+    candidates = band-bucket collisions, n_match = equal signature slots,
+    deterministic total order (n_match DESC, a, b)."""
+    k = dataprep.MINHASH_SIM_K
+    return f"""WITH {H.sql_minhash_bands_cte()}, cand AS (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.band_hash = b2.band_hash
+   AND b1.doc_id < b2.doc_id
+)
+SELECT c.a, c.b,
+       list_sum(list_transform(range(1, {H.MH_NUM_PERM + 1}),
+         i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::BIGINT
+         AS n_match
+FROM cand c
+JOIN sig_t sa ON sa.doc_id = c.a
+JOIN sig_t sb ON sb.doc_id = c.b
+ORDER BY n_match DESC, c.a, c.b LIMIT {k}"""
 
 
 def build_oracles(sf_dir: str) -> dict[str, str]:
@@ -942,6 +1016,9 @@ LIMIT 10""",
         "docs_select_budget": _select_budget_sql(),
         "docs_gopher_filter": _gopher_filter_sql(),
         "corpus_export_counts": _corpus_export_counts_sql(),
+        "multimodal_image_stats": _multimodal_image_stats_sql(),
+        "docs_line_dedup": _line_dedup_sql(),
+        "docs_minhash_sim_topk": _minhash_sim_topk_sql(),
         "ann_lsh_topk": _ann_lsh_sql(dataprep._embedding_dim(sf_dir)),
         "ann_ivf_topk": _ann_ivf_sql(sf_dir),
         "embed_neardup": _embed_neardup_sql(dataprep._embedding_dim(sf_dir)),

@@ -367,14 +367,15 @@ def _keyed_blocks(ds_mat: Dataset, keys: list[str], fn,
         )
 
 
-def _dominated_block(batch: pa.Table) -> pa.Table:
-    """Dominated ids for one (band, band_hash)-exclusive partition, fully
-    vectorized: sort by (band, band_hash, doc_id); the first row of each
-    bucket is its min id, every other row is dominated."""
+def _dominated_block(batch: pa.Table, k1_col: str = "band",
+                     k2_col: str = "band_hash") -> pa.Table:
+    """Dominated ids for one (k1, k2)-exclusive partition, fully
+    vectorized: sort by (k1, k2, doc_id); the first row of each bucket is
+    its min id, every other row is dominated."""
     if batch.num_rows == 0:
         return pa.table({"doc_id": pa.array([], type=pa.int64())})
-    band = batch["band"].to_numpy(zero_copy_only=False)
-    bh = batch["band_hash"].to_numpy(zero_copy_only=False)
+    band = batch[k1_col].to_numpy(zero_copy_only=False)
+    bh = batch[k2_col].to_numpy(zero_copy_only=False)
     ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, bh, band))
     band, bh, ids = band[order], bh[order], ids[order]
@@ -527,34 +528,122 @@ class GramSetStage:
 
 def _prefix_rows(batch: pa.Table) -> pa.Table:
     """Explode each doc's Jaccard prefix (first prefix_length(m) hashes of
-    the sorted shingle set) into (gram_hash, doc_id) rows — the only data
-    the candidate-generation shuffle moves."""
+    the sorted shingle set) into (gram_hash, doc_id, m, pos) rows — the
+    only data the candidate-generation shuffle moves. m (set size) and pos
+    (index of this hash in the doc's full sorted set) feed the PPJoin
+    length/positional filters in _pairs_block."""
     out_h: list[np.ndarray] = []
     out_d: list[np.ndarray] = []
+    out_m: list[np.ndarray] = []
+    out_p: list[np.ndarray] = []
     ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     grams = batch["grams"].to_pylist()
     for i, g in enumerate(grams):
         pl = H.prefix_length(len(g))
         out_h.append(np.asarray(g[:pl], dtype=np.int64))
         out_d.append(np.full(pl, ids[i], dtype=np.int64))
+        out_m.append(np.full(pl, len(g), dtype=np.int64))
+        out_p.append(np.arange(pl, dtype=np.int64))
+    cat = (lambda xs: np.concatenate(xs) if xs else
+           np.empty(0, dtype=np.int64))
     return pa.table(
         {
-            "gram_hash": pa.array(np.concatenate(out_h) if out_h else [],
-                                  type=pa.int64()),
-            "doc_id": pa.array(np.concatenate(out_d) if out_d else [],
-                               type=pa.int64()),
+            "gram_hash": pa.array(cat(out_h), type=pa.int64()),
+            "doc_id": pa.array(cat(out_d), type=pa.int64()),
+            "m": pa.array(cat(out_m), type=pa.int64()),
+            "pos": pa.array(cat(out_p), type=pa.int64()),
         }
     )
 
 
+# Hot-bucket valve: a prefix hash shared by > this many docs (boilerplate
+# shingle that survives the identical-set collapse) would emit O(b²) pairs
+# in one partition; above the cap the bucket degrades to a logged STAR
+# (bucket-min doc × everyone) — exact for every pair involving that doc,
+# possibly missing cross-pairs unless another shared bucket catches them.
+# 4096 docs = 8.4M pairs is far above anything the oracle corpora reach,
+# so the exactness proof (all-pairs SQL) is never exercised through the
+# degraded path at test scale; at 100 TB the cap bounds the worst
+# partition. Raise/disable via this constant.
+JACCARD_BUCKET_CAP = 4096
+
+
 def _pairs_block(batch: pa.Table) -> pa.Table:
-    """Candidate pairs (a < b) for one gram_hash-exclusive partition:
-    bucket boundaries found vectorized, per-bucket combinations via
-    triu_indices (buckets are prefix-hash collisions — small), local
-    (a, b) dedup with np.unique. Cross-partition duplicate pairs are NOT
-    globally deduplicated: measured dup factor ≈ 1.04, and a duplicate
-    pair only re-verifies — the anti-join semantics are unchanged —
-    while a global (a, b) groupby cost more than the whole verify."""
+    """Candidate pairs (a < b) for one gram_hash-exclusive partition with
+    the PPJoin pruning filters (Xiao et al., WWW'08), all vectorized:
+
+    - length filter: J ≤ min(ma,mb)/max(ma,mb), so prune unless
+      JC_DEN·min ≥ JC_NUM·max;
+    - positional filter: sets are sorted by hash, so at a shared hash at
+      positions (pa, pb), |A∩B| ≤ min(pa,pb) + 1 + min(ma-pa-1, mb-pb-1);
+      prune when that bound < α = ceil(JC_NUM·(ma+mb)/(JC_DEN+JC_NUM)).
+      The bound holds at EVERY shared hash, so per-bucket pruning never
+      loses a qualifying pair (it must survive in each bucket it shares).
+
+    Buckets larger than JACCARD_BUCKET_CAP degrade to a logged star (see
+    the constant above). Cross-partition duplicate pairs are NOT globally
+    deduplicated: measured dup factor ≈ 1.04, and a duplicate pair only
+    re-verifies — the anti-join semantics are unchanged — while a global
+    (a, b) groupby cost more than the whole verify."""
+    import logging
+
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64())})
+    if batch.num_rows == 0:
+        return empty
+    gh = batch["gram_hash"].to_numpy(zero_copy_only=False)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    ms = batch["m"].to_numpy(zero_copy_only=False)
+    ps = batch["pos"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, gh))
+    gh, ids, ms, ps = gh[order], ids[order], ms[order], ps[order]
+    bounds = np.flatnonzero(np.r_[True, gh[1:] != gh[:-1], True])
+    out_a, out_b = [], []
+    n_capped = 0
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        b = e - s
+        if b < 2:
+            continue
+        # ids are unique within a bucket (a doc's gram set is distinct)
+        # and sorted ascending by the lexsort, so triu gives a < b
+        bid, bm, bp = ids[s:e], ms[s:e], ps[s:e]
+        if b > JACCARD_BUCKET_CAP:
+            n_capped += 1
+            out_a.append(np.full(b - 1, bid[0], dtype=np.int64))
+            out_b.append(bid[1:])
+            continue
+        i, j = np.triu_indices(b, 1)
+        ma, mb = bm[i], bm[j]
+        lo, hi = np.minimum(ma, mb), np.maximum(ma, mb)
+        keep = H.JC_DEN * lo >= H.JC_NUM * hi
+        pa_, pb_ = bp[i], bp[j]
+        alpha = -(-(H.JC_NUM * (ma + mb)) // (H.JC_DEN + H.JC_NUM))
+        ub = np.minimum(pa_, pb_) + 1 + np.minimum(ma - pa_ - 1,
+                                                   mb - pb_ - 1)
+        keep &= ub >= alpha
+        if keep.any():
+            out_a.append(bid[i[keep]])
+            out_b.append(bid[j[keep]])
+    if n_capped:
+        logging.getLogger("pgweasel_ray.dataprep").warning(
+            "dedup_ngram_jaccard: %d prefix bucket(s) over "
+            "JACCARD_BUCKET_CAP=%d degraded to star pairing",
+            n_capped, JACCARD_BUCKET_CAP,
+        )
+    if not out_a:
+        return empty
+    pairs = np.unique(
+        np.stack([np.concatenate(out_a), np.concatenate(out_b)], axis=1),
+        axis=0,
+    )
+    return pa.table({"a": pa.array(pairs[:, 0], type=pa.int64()),
+                     "b": pa.array(pairs[:, 1], type=pa.int64())})
+
+
+def _simple_pairs_block(batch: pa.Table) -> pa.Table:
+    """Unfiltered candidate pairs (a < b) per gram_hash-exclusive partition
+    — for band-bucket blocking (docs_minhash_sim_topk), where bucket
+    membership alone defines candidacy and buckets are LSH-sized."""
     empty = pa.table({"a": pa.array([], type=pa.int64()),
                       "b": pa.array([], type=pa.int64())})
     if batch.num_rows == 0:
@@ -608,6 +697,43 @@ def _jaccard_dominated(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": pa.array(bs[keep], type=pa.int64())})
 
 
+def _set_key_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, k1, k2): two independent polynomial hashes of the doc's
+    FULL sorted gram-hash list — equal sets share keys, so grouping by
+    (k1, k2) finds identical-set docs (J = 1) exactly, modulo the ~2^-62
+    per-pair collision odds the dedup_exact oracle already accepts. One
+    flat reduceat pass for the whole batch."""
+    if batch.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "k1": pa.array([], type=pa.int64()),
+                         "k2": pa.array([], type=pa.int64())})
+    la = batch["grams"].combine_chunks()
+    off = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = la.values.to_numpy(zero_copy_only=False)[off[0]:off[-1]]
+    starts = off[:-1] - off[0]
+    lens = off[1:] - off[:-1]                      # >= 1 (GRAM_PAD)
+    pos = np.arange(len(vals), dtype=np.int64) - np.repeat(starts, lens)
+    revpos = np.repeat(lens, lens) - 1 - pos
+    keys = []
+    for base in (H.B1, H.B2):
+        pw = H._powers(base, int(lens.max()))[revpos]
+        keys.append(np.add.reduceat((vals * pw) % H.P, starts) % H.P)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "k1": pa.array(keys[0], type=pa.int64()),
+            "k2": pa.array(keys[1], type=pa.int64()),
+        }
+    )
+
+
+def _keyset_anti_filter(batch: pa.Table, id_col: str, keyset) -> pa.Table:
+    """Drop rows whose id is in a ShardedKeySet — the unbounded-size twin
+    of the broadcast _anti_filter."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return batch.filter(pa.array(~keyset.contains(ids)))
+
+
 def dedup_ngram_jaccard_ds(sf_dir: str) -> Dataset:
     """EXACT near-dup removal at J >= JC_NUM/JC_DEN over distinct word
     n-gram sets: a doc is dropped iff some smaller-id doc has Jaccard
@@ -615,29 +741,65 @@ def dedup_ngram_jaccard_ds(sf_dir: str) -> Dataset:
 
     Fully distributed and exact:
     1. GramSetStage: per-doc sorted-distinct shingle-hash list (int64).
-    2. Prefix filter: only the first m-ceil(t*m)+1 hashes per doc enter the
+    2. Identical-set collapse: docs sharing a full-set key (J = 1 by
+       definition) are dominated outright and only the min-id
+       representative enters candidate generation — this removes the
+       padded-tiny-doc hot bucket (every short doc shares the one GRAM_PAD
+       shingle) without losing a pair: J(rep, Z) = J(member, Z).
+    3. Prefix filter: only the first m-ceil(t*m)+1 hashes per doc enter the
        candidate shuffle — the SSJoin/PPJoin prefix guarantee makes recall
        exact (any pair with J >= t shares a prefix hash), with ~(1-t)·m
        rows per doc instead of all-pairs.
-    3. Candidates: groupby(gram_hash) pairs, deduplicated by (a, b).
-    4. Verification: two hash joins attach both gram lists (int64 payloads,
+    4. Candidates: groupby(gram_hash) pairs with PPJoin length/positional
+       pruning and the JACCARD_BUCKET_CAP hot-bucket valve (_pairs_block).
+    5. Verification: two hash joins attach both gram lists (int64 payloads,
        never text), then a vectorized Jaccard stage emits dominated ids.
-    5. Survivors: left-anti join (as all dedups here).
+    6. Survivors: left-anti join (as all dedups here) against the union of
+       identical-set and verified dominated ids.
 
     The DuckDB oracle is the all-pairs definition itself — an independent
-    check that the prefix filter loses nothing."""
+    check that the prefix/positional/length filters lose nothing."""
+    import ray
+
     gram_sets = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"_cls": GramSetStage},
-    ).materialize()  # consumed three times below (prefix + two join sides)
+    ).materialize()  # consumed four times below (keys/prefix + join sides)
 
-    prefix = gram_sets.map_batches(
+    set_rows = gram_sets.select_columns(["doc_id", "grams"]).map_batches(
+        _set_key_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    ident_dom = _keyed_blocks(
+        set_rows, ["k1", "k2"], _dominated_block,
+        fn_kwargs={"k1_col": "k1", "k2_col": "k2"},
+    ).materialize()
+    n_ident = ident_dom.count()
+    if n_ident == 0:
+        reps = gram_sets
+    elif n_ident <= BROADCAST_ANTI_MAX:
+        ref = ray.put(np.sort(ident_dom.to_pandas()["doc_id"].to_numpy()))
+        reps = gram_sets.map_batches(
+            _anti_filter, batch_format="pyarrow", zero_copy_batch=True,
+            fn_kwargs={"id_col": "doc_id", "dom_ref": ref},
+        )
+    else:  # unbounded dominated set: sharded key-set, no driver copy
+        from ..state.keyset import ShardedKeySet
+
+        ks = ShardedKeySet()
+        ks.add_dataset(ident_dom, "doc_id")
+        reps = gram_sets.map_batches(
+            _keyset_anti_filter, batch_format="pyarrow",
+            zero_copy_batch=True,
+            fn_kwargs={"id_col": "doc_id", "keyset": ks},
+        )
+
+    prefix = reps.map_batches(
         _prefix_rows, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
     pairs = _keyed_blocks(prefix, ["gram_hash"], _pairs_block).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
-        return _docs(sf_dir, ["doc_id"])
+        return _survivors(sf_dir, ident_dom)
 
     n_parts = _join_partitions(n_pairs, concurrent_joins=2)
     a_side = gram_sets.map_batches(
@@ -652,10 +814,10 @@ def dedup_ngram_jaccard_ds(sf_dir: str) -> Dataset:
                         num_partitions=n_parts)
     joined = joined.join(b_side, join_type="inner", on=("b",),
                          num_partitions=n_parts)
-    dom = joined.map_batches(
+    pair_dom = joined.map_batches(
         _jaccard_dominated, batch_format="pyarrow", zero_copy_batch=True
     )
-    return _survivors(sf_dir, dom)
+    return _survivors(sf_dir, pair_dom.union(ident_dom))
 
 
 def _rename_grams(batch: pa.Table, id_to: str, grams_to: str) -> pa.Table:
@@ -2615,3 +2777,234 @@ def hll_estimate(registers: pd.DataFrame) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# --- multimodal: image decode + integer feature stats --------------------------
+
+def multimodal_image_stats(sf_dir: str) -> Dataset:
+    """Image decode/featurize as a first-class multimodal pipeline: binary
+    image payloads (synthesised deterministically per doc_id — the SYNTH_*
+    law in stages/multimodal.py is the parity source) travel as an Arrow
+    binary column into an ACTOR-POOL decode stage (init once per actor,
+    small batches because rows are large), which emits all-integer stats
+    (height, width, channels, n_px, px_sum). Oracle: the same law replayed
+    in SQL over generate_series — so the decode path itself is
+    correctness-gated, not just the plumbing."""
+    from ..stages import multimodal as MM
+
+    imgs = _docs(sf_dir, ["doc_id"]).map_batches(
+        MM.synth_images, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return imgs.map_batches(
+        MM.ImageStatsStage, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4), batch_size=256,
+    )
+
+
+# --- line-level dedup (CCNet-style) --------------------------------------------
+
+LINE_IDX_BITS = 20   # packed = doc_id << 20 | line_idx (docs under 1M lines)
+
+
+def _line_rows(batch: pa.Table) -> pa.Table:
+    """Explode documents into (lh1, lh2, packed) line rows: two independent
+    seeded 64-bit line hashes (the 128-bit-equivalence argument of
+    dedup_exact) + the packed global (doc_id, line_idx) position. The
+    shuffle downstream moves 24-byte rows, never line text."""
+    import polars as pl
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lines = pc.split_pattern(batch["text"], "\n")
+    counts = pc.list_value_length(lines).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    flat = pl.from_arrow(pc.list_flatten(lines))
+    h1 = flat.hash(seed=1).to_numpy().view(np.int64)
+    h2 = flat.hash(seed=2).to_numpy().view(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    idx = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+        starts, counts
+    )
+    packed = (np.repeat(ids, counts) << LINE_IDX_BITS) + idx
+    return pa.table(
+        {
+            "lh1": pa.array(h1, type=pa.int64()),
+            "lh2": pa.array(h2, type=pa.int64()),
+            "packed": pa.array(packed, type=pa.int64()),
+        }
+    )
+
+
+def _line_totals(batch: pa.Table) -> pa.Table:
+    n_lines = pc.add(
+        pc.count_substring(batch["text"], "\n"), 1
+    )  # == len(str_split(text, '\n'))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_lines": pc.cast(n_lines, pa.int64()),
+        }
+    )
+
+
+def _kept_to_doc(batch: pa.Table) -> pa.Table:
+    p = batch["packed"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {"doc_id": pa.array(p >> LINE_IDX_BITS, type=pa.int64())}
+    )
+
+
+def _fill_kept(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_lines": batch["n_lines"],
+            "n_kept": pc.fill_null(pc.cast(batch["n_kept"], pa.int64()), 0),
+        }
+    )
+
+
+def docs_line_dedup(sf_dir: str) -> Dataset:
+    """CCNet-style exact LINE dedup: across the whole corpus, each distinct
+    line survives only at its first global occurrence (min (doc_id,
+    line_idx)); later copies — boilerplate headers, license blocks,
+    repeated chat scaffolding — are dropped. Output per doc: (n_lines,
+    n_kept). Scale shape: one 24-byte-key shuffle for the min-position
+    groupby, pre-aggregated counts, and a capped hash join to attach
+    n_kept; a doc whose every line is seen earlier keeps n_kept = 0 via
+    the left-outer side."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    lines = docs.map_batches(
+        _line_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    kept = (
+        lines.groupby(["lh1", "lh2"])
+        .aggregate(Min("packed", alias_name="packed"))
+        .map_batches(_kept_to_doc, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_kept"))
+    )
+    totals = docs.map_batches(
+        _line_totals, batch_format="pyarrow", zero_copy_batch=True
+    )
+    n_docs = _docs(sf_dir, ["doc_id"]).count()  # parquet metadata, no scan
+    joined = totals.join(
+        kept, join_type="left_outer", on=("doc_id",),
+        num_partitions=_join_partitions(n_docs),
+    )
+    return joined.map_batches(
+        _fill_kept, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# --- MinHash similarity top-k pairs --------------------------------------------
+
+MINHASH_SIM_K = 20   # report the K most-similar candidate pairs
+
+
+class MinHashSigStage:
+    """doc → (doc_id, sig) with the MH_NUM_PERM-slot signature packed into
+    one binary cell (int64 little-endian — Ray's hash join ships binary,
+    not lists). Shares the flat chunked kernel with MinHashBandStage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig = H.minhash_sigs_docs(batch["text"].to_pylist())  # (64, n)
+        packed = [sig[:, j].tobytes() for j in range(sig.shape[1])]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sig": pa.array(packed, type=pa.binary()),
+            }
+        )
+
+
+def _band_pair_rows(batch: pa.Table) -> pa.Table:
+    """(band, band_hash, doc_id) → (gram_hash=band*P+band_hash, doc_id):
+    folds the two-column bucket key into one int64 (band < MH_BANDS,
+    band_hash < P) so the generic pair machinery applies."""
+    band = batch["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bh = batch["band_hash"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "gram_hash": pa.array(band * H.P + bh, type=pa.int64()),
+            "doc_id": batch["doc_id"],
+        }
+    )
+
+
+def _sig_match(batch: pa.Table) -> pa.Table:
+    """Estimated-similarity kernel: n_match = #equal signature slots of the
+    pair — one vectorized (n_pairs, MH_NUM_PERM) compare per batch."""
+    if batch.num_rows == 0:
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64()),
+                         "n_match": pa.array([], type=pa.int64())})
+    sa = np.frombuffer(
+        b"".join(batch["a_sig"].to_pylist()), dtype=np.int64
+    ).reshape(-1, H.MH_NUM_PERM)
+    sb = np.frombuffer(
+        b"".join(batch["b_sig"].to_pylist()), dtype=np.int64
+    ).reshape(-1, H.MH_NUM_PERM)
+    return pa.table(
+        {
+            "a": batch["a"],
+            "b": batch["b"],
+            "n_match": pa.array((sa == sb).sum(axis=1), type=pa.int64()),
+        }
+    )
+
+
+def docs_minhash_sim_topk(sf_dir: str) -> Dataset:
+    """The K most similar LSH-candidate pairs by MinHash-estimated Jaccard
+    (n_match of MH_NUM_PERM equal signature slots; ties broken by (a, b)).
+    The similarity-JOIN companion to dedup_minhash: same band blocking, but
+    the output is ranked pairs instead of survivor ids — the shape used for
+    near-dup AUDITING before committing to a dedup threshold.
+
+    Scale: candidates only ever form within a band bucket (never all
+    pairs); pair dedup is a 16-byte-key groupby; signatures (512 B/doc)
+    join only onto the candidate pairs; top-k is a distributed sort+limit."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    band_rows = docs.map_batches(
+        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"_cls": MinHashBandStage},
+    ).map_batches(
+        _band_pair_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    raw_pairs = _keyed_blocks(band_rows, ["gram_hash"], _simple_pairs_block)
+    pairs = raw_pairs.groupby(["a", "b"]).aggregate(
+        Count(alias_name="_nb")
+    ).select_columns(["a", "b"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return pairs.map_batches(
+            _sig_match, batch_format="pyarrow", zero_copy_batch=True
+        )
+    sigs = docs.map_batches(
+        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"_cls": MinHashSigStage},
+    ).materialize()
+    n_parts = _join_partitions(n_pairs, concurrent_joins=2)
+    a_side = sigs.map_batches(
+        _rename_sig, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"id_to": "a", "sig_to": "a_sig"},
+    )
+    b_side = sigs.map_batches(
+        _rename_sig, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"id_to": "b", "sig_to": "b_sig"},
+    )
+    joined = pairs.join(a_side, join_type="inner", on=("a",),
+                        num_partitions=n_parts)
+    joined = joined.join(b_side, join_type="inner", on=("b",),
+                         num_partitions=n_parts)
+    scored = joined.map_batches(
+        _sig_match, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return scored.sort(
+        ["n_match", "a", "b"], descending=[True, False, False]
+    ).limit(MINHASH_SIM_K)
+
+
+def _rename_sig(batch: pa.Table, id_to: str, sig_to: str) -> pa.Table:
+    return pa.table({id_to: batch["doc_id"], sig_to: batch["sig"]})

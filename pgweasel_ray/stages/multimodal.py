@@ -25,6 +25,21 @@ IMG_MAGIC = b"FAKEIMG"
 AUD_MAGIC = b"FAKEAUD"
 VID_MAGIC = b"FAKEVID"
 
+# Deterministic synthetic-image law (PARITY SOURCE — the oracle SQL in
+# oracle_queries._multimodal_image_stats_sql is generated from these):
+#   height   = SYNTH_H_BASE + doc_id % SYNTH_H_MOD
+#   width    = SYNTH_W_BASE + doc_id % SYNTH_W_MOD
+#   channels = 1 + doc_id % SYNTH_C_MOD
+#   pixel[i] = (doc_id*SYNTH_PX_A + i*(1 + doc_id % SYNTH_STEP_MOD)) % 256
+# so the image STATS an actual decode produces are SQL-expressible while
+# the payload still travels as a real Arrow binary column through a real
+# actor-pool decode stage.
+SYNTH_H_BASE, SYNTH_H_MOD = 4, 13
+SYNTH_W_BASE, SYNTH_W_MOD = 4, 11
+SYNTH_C_MOD = 3
+SYNTH_PX_A = 2654435761          # Knuth multiplicative-hash constant
+SYNTH_STEP_MOD = 7
+
 
 def fake_image(height: int, width: int, channels: int = 3, seed: int = 0) -> bytes:
     rng = np.random.default_rng(seed)
@@ -126,6 +141,77 @@ class ImageDecodeStage:
             .append_column("channels", pa.array(c, type=pa.int32()))
             .append_column("mean_intensity", pa.array(m, type=pa.float64()))
         )
+
+
+def synth_images(batch: pa.Table) -> pa.Table:
+    """doc_id → deterministic FAKEIMG payload per the SYNTH_* law. Pixel
+    generation is one flat numpy pass for the whole batch (the per-row
+    Python is only header packing + buffer slicing)."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = SYNTH_H_BASE + ids % SYNTH_H_MOD
+    w = SYNTH_W_BASE + ids % SYNTH_W_MOD
+    c = 1 + ids % SYNTH_C_MOD
+    base = (ids * SYNTH_PX_A) % 256
+    step = 1 + ids % SYNTH_STEP_MOD
+    n = h * w * c
+    starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+    i = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(starts, n)
+    px = ((np.repeat(base, n) + i * np.repeat(step, n)) % 256).astype(
+        np.uint8
+    )
+    payloads = [
+        IMG_MAGIC + struct.pack("<HHB", h[j], w[j], c[j])
+        + px[starts[j]:starts[j] + n[j]].tobytes()
+        for j in range(len(ids))
+    ]
+    return pa.table(
+        {"doc_id": batch["doc_id"],
+         "image": pa.array(payloads, type=pa.binary())}
+    )
+
+
+class ImageStatsStage:
+    """binary image → (height, width, channels, n_px, px_sum) — the
+    decode-and-featurize stage with ALL-INTEGER outputs so the result is
+    oracle-checkable. Real path (``pillow`` present) decodes actual
+    images; the deterministic fake codec parses the FAKEIMG header. Run as
+    an actor pool (map_batches with the class): rows can be megabytes, so
+    batch_size stays small and init happens once per actor."""
+
+    def __init__(self, image_col: str = "image"):
+        self.image_col = image_col
+        try:  # pragma: no cover - library absent in this container
+            from PIL import Image  # noqa: F401
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def _stats(self, data: bytes) -> tuple[int, int, int, int, int]:
+        if data[: len(IMG_MAGIC)] == IMG_MAGIC:
+            h, w, c = struct.unpack_from("<HHB", data, len(IMG_MAGIC))
+            px = np.frombuffer(data, dtype=np.uint8,
+                               offset=len(IMG_MAGIC) + 5, count=h * w * c)
+            return h, w, c, h * w * c, int(px.sum(dtype=np.int64))
+        if self._pil is not None:  # pragma: no cover
+            import io
+
+            arr = np.asarray(self._pil.open(io.BytesIO(data)))
+            c = arr.shape[2] if arr.ndim == 3 else 1
+            return (arr.shape[0], arr.shape[1], c, arr.size,
+                    int(arr.sum(dtype=np.int64)))
+        raise NotImplementedError(
+            "real image decoding requires pillow; payload is not FAKEIMG"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = [self._stats(v) for v in batch[self.image_col].to_pylist()]
+        h, w, c, n, s = zip(*vals) if vals else ((), (), (), (), ())
+        batch = batch.drop_columns([self.image_col])
+        for name, col in (("height", h), ("width", w), ("channels", c),
+                          ("n_px", n), ("px_sum", s)):
+            batch = batch.append_column(name, pa.array(col, type=pa.int64()))
+        return batch
 
 
 class ImageResizeStage:
