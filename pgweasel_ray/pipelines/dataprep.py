@@ -152,7 +152,7 @@ def dedup_incremental(sf_dir: str, n_rounds: int = 2) -> pd.DataFrame:
     ).materialize()
     mx = int(hashed.max("doc_id"))
     step = (mx + n_rounds) // n_rounds
-    dd = IncrementalDeduper(n_shards=4)
+    dd = IncrementalDeduper()  # fleet sized from the cluster
     parts = []
     for r in range(n_rounds):
         rnd = hashed.map_batches(

@@ -67,9 +67,15 @@ def _add_batch(batch: pa.Table, shards: list, col: str) -> pa.Table:
 
 class ShardedKeySet:
     """Driver/worker-side handle over the shard fleet. Picklable into
-    map_batches fn_kwargs (actor handles serialize)."""
+    map_batches fn_kwargs (actor handles serialize). ``n_shards=None``
+    sizes the fleet from the cluster (state/dedup_index.default_n_shards
+    — one shard per ~4 CPUs, horizontal at real scale)."""
 
-    def __init__(self, n_shards: int = DEFAULT_N_SHARDS):
+    def __init__(self, n_shards: int | None = None):
+        if n_shards is None:
+            from .dedup_index import default_n_shards
+
+            n_shards = default_n_shards()
         self.shards = [KeySetShard.remote() for _ in range(n_shards)]
 
     def add_dataset(self, ds, col: str) -> int:

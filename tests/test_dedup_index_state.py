@@ -95,3 +95,43 @@ def test_shard_lookup_of_unoffered_keys_is_false():
     ids = np.array([10, 20], dtype=np.int64)
     out = shard.survivors(h1, h2, ids)
     assert not out.any()
+
+
+def test_fleet_size_scales_with_cluster_and_results_are_invariant(tmp_path):
+    """Shard count comes from the cluster when unspecified, and forcing
+    two different counts yields identical survivors (sharding only
+    partitions the key space)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from pgweasel_ray.pipelines.dataprep import dedup_incremental
+    from pgweasel_ray.state.dedup_index import (IncrementalDeduper,
+                                                default_n_shards)
+
+    assert ray.is_initialized()
+    cpus = int(ray.cluster_resources()["CPU"])
+    assert default_n_shards() == max(2, cpus // 4)
+    assert len(IncrementalDeduper().shards) == default_n_shards()
+
+    texts = ["dup one", "dup one", "two words here", "dup one",
+             "four", "two words here", "five unique words in here"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    outs = []
+    for n in (2, 5):
+        import pgweasel_ray.pipelines.dataprep as dp
+        import pgweasel_ray.state.dedup_index as di
+
+        from unittest import mock
+
+        with mock.patch.object(di, "default_n_shards", lambda: n):
+            outs.append(dedup_incremental(str(tmp_path)))
+    assert outs[0]["doc_id"].tolist() == outs[1]["doc_id"].tolist() == [
+        0, 2, 4, 6
+    ]
