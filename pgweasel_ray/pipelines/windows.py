@@ -68,14 +68,20 @@ def _sessionize_block(df: pd.DataFrame) -> pd.DataFrame:
     ).reset_index()[["user_id", "n_events", "n_sessions"]]
 
 
-def events_user_sessions(sf_dir: str) -> Dataset:
+def events_user_sessions(sf_dir: str, salt_days: bool = False) -> Dataset:
     """Per-user session count with a 30-min inactivity gap (strictly greater
     ⇒ new session). The streaming-window equivalent for a batch table:
     keyed HASH repartition co-locates each user's events in one block, then
     one vectorized pandas pass per block (see core.sessions for the shape
-    rationale; the partitioning assumption is that one user's events fit
-    one worker — bound by per-user activity; salt by day for pathological
-    users)."""
+    rationale).
+
+    Default partitioning assumption: one user's events fit one worker.
+    ``salt_days=True`` removes it for pathological users (one user owning
+    a visible fraction of the stream): the key becomes (user_id, day), a
+    per-day partial sessionization runs in the salted blocks, and a
+    second tiny exchange over the PARTIALS (one row per user-day) merges
+    at the day boundaries — exactly equal to the unsalted output
+    (asserted in test_salted)."""
     import ray
 
     from .common import hash_shuffle
@@ -83,10 +89,95 @@ def events_user_sessions(sf_dir: str) -> Dataset:
     with hash_shuffle():
         ds = _events(sf_dir, ["user_id", "ts"])
         n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
-        parts = ds.repartition(n_parts, keys=["user_id"], sort=False)
-        return parts.map_batches(
-            _sessionize_block, batch_format="pandas", batch_size=None
+        if not salt_days:
+            parts = ds.repartition(n_parts, keys=["user_id"], sort=False)
+            return parts.map_batches(
+                _sessionize_block, batch_format="pandas", batch_size=None
+            )
+        salted = ds.map_batches(
+            _add_day, batch_format="pyarrow", zero_copy_batch=True
+        ).repartition(n_parts, keys=["user_id", "_day"], sort=False)
+        partials = salted.map_batches(
+            _sessionize_day_partials, batch_format="pandas", batch_size=None
+        ).materialize()
+    from .dataprep import _keyed_blocks
+
+    return _keyed_blocks(partials, ["user_id"], _merge_day_partials)
+
+
+def _add_day(batch: pa.Table) -> pa.Table:
+    us = pc.cast(batch["ts"], pa.int64())
+    day = pc.divide(us, 86_400_000_000)
+    return batch.append_column("_day", pc.cast(day, pa.int64()))
+
+
+def _sessionize_day_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Within one (user_id, day)-exclusive salted block: per user-day
+    partials (event count, within-day session count, first/last ts) —
+    the mergeable decomposition of gap sessionization."""
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "_day": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "n_sessions": pd.Series([], dtype="int64"),
+                "first_ts": pd.Series([], dtype="datetime64[us]"),
+                "last_ts": pd.Series([], dtype="datetime64[us]"),
+            }
         )
+    df = df.sort_values(["user_id", "_day", "ts"], kind="mergesort")
+    gaps = df.groupby(["user_id", "_day"], sort=False)["ts"].diff()
+    df["_new"] = (
+        gaps.isna() | (gaps > pd.Timedelta(seconds=SESSION_GAP_S))
+    ).astype("int64")
+    g = df.groupby(["user_id", "_day"], sort=False)
+    out = pd.DataFrame(
+        {
+            "n_events": g.size().astype("int64"),
+            "n_sessions": g["_new"].sum().astype("int64"),
+            "first_ts": g["ts"].min(),
+            "last_ts": g["ts"].max(),
+        }
+    ).reset_index()
+    return out[["user_id", "_day", "n_events", "n_sessions",
+                "first_ts", "last_ts"]]
+
+
+def _merge_day_partials(batch: pa.Table) -> pa.Table:
+    """Merge per-day partials inside one user-exclusive partition: a
+    session continues across a day boundary iff the gap between the
+    previous day's last event and the next day's first event is <= the
+    threshold (same strictly-greater rule), which joins two counted
+    sessions into one."""
+    df = batch.to_pandas()
+    if df.empty:
+        return pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "n_sessions": pa.array([], type=pa.int64()),
+            }
+        )
+    df = df.sort_values(["user_id", "_day"], kind="mergesort")
+    prev_last = df.groupby("user_id", sort=False)["last_ts"].shift()
+    joined = (
+        (df["first_ts"] - prev_last)
+        <= pd.Timedelta(seconds=SESSION_GAP_S)
+    ).fillna(False).astype("int64")
+    df["_joined"] = joined
+    g = df.groupby("user_id", sort=False)
+    out = pd.DataFrame(
+        {
+            "n_events": g["n_events"].sum().astype("int64"),
+            "n_sessions": (g["n_sessions"].sum()
+                           - g["_joined"].sum()).astype("int64"),
+        }
+    ).reset_index()
+    return pa.Table.from_pandas(
+        out[["user_id", "n_events", "n_sessions"]], preserve_index=False
+    ).cast(pa.schema([("user_id", pa.int64()), ("n_events", pa.int64()),
+                      ("n_sessions", pa.int64())]))
 
 
 SLIDE_WINDOW_BUCKETS = 3  # trailing window width (current + 2 preceding)
