@@ -120,58 +120,65 @@ def route(
     under any arrival order)."""
     import ray
 
+    from ..state.manifest import RunLock
+
     out_root = Path(out_dir) if out_dir else fixture_dir(sf_dir) / "routed"
-    manifest = Manifest(out_root / "MANIFEST.json")
+    # exactly-once across CONCURRENT drivers: the loser blocks, then
+    # resumes against the winner's committed manifest (state/manifest.py)
+    with RunLock(out_root / ".route.lock"):
+        manifest = Manifest(out_root / "MANIFEST.json")
 
-    role_ref = tool_ref = None
-    if enrich:
-        role_ref = ray.put(lookups.load_map(sf_dir, "role_tenant"))
-        tool_ref = ray.put(lookups.load_map(sf_dir, "tool_subsystem"))
+        role_ref = tool_ref = None
+        if enrich:
+            role_ref = ray.put(lookups.load_map(sf_dir, "role_tenant"))
+            tool_ref = ray.put(lookups.load_map(sf_dir, "tool_subsystem"))
 
-    files = _input_files(sf_dir)
-    if shard_by == "file":
-        sharding = _file_shards(files)
-    else:
-        sharding = [
-            (f"shard={i}", sf)
-            for i, sf in enumerate(_shards(files, num_shards))
-        ]
-
-    for key, shard_files in sharding:
-        shard_dir = out_root / key
-        if manifest.is_done(key, shard_dir):
-            continue
-        t0 = time.monotonic()
-        if shard_dir.exists():
-            shutil.rmtree(shard_dir)  # idempotent rewrite, never append-dup
-
-        expected_rows = None
-        if exchange == "compact":
-            expected_rows = _route_shard_compact(shard_files, shard_dir,
-                                                 enrich, role_ref, tool_ref)
+        files = _input_files(sf_dir)
+        if shard_by == "file":
+            sharding = _file_shards(files)
         else:
-            _route_shard_hash(shard_files, shard_dir, enrich,
-                              role_ref, tool_ref, salt)
+            sharding = [
+                (f"shard={i}", sf)
+                for i, sf in enumerate(_shards(files, num_shards))
+            ]
 
-        rows, by_severity = _written_counts(shard_dir)
-        if expected_rows is not None and rows != expected_rows:
-            # at-least-once map retries can leave stray fragments if a task
-            # died mid-write AND its retry split batches differently (the
-            # deterministic content-hash fragment names cover the common
-            # same-split case); fail the shard BEFORE the manifest commit so
-            # the rerun wipes and rebuilds it instead of double-counting
-            raise RuntimeError(
-                f"routed shard {key}: compacted {rows} rows but phase A "
-                f"wrote {expected_rows}; shard left uncommitted for rerun"
+        for key, shard_files in sharding:
+            shard_dir = out_root / key
+            if manifest.is_done(key, shard_dir):
+                continue
+            t0 = time.monotonic()
+            if shard_dir.exists():
+                shutil.rmtree(shard_dir)  # idempotent rewrite, no appends
+
+            expected_rows = None
+            if exchange == "compact":
+                expected_rows = _route_shard_compact(
+                    shard_files, shard_dir, enrich, role_ref, tool_ref
+                )
+            else:
+                _route_shard_hash(shard_files, shard_dir, enrich,
+                                  role_ref, tool_ref, salt)
+
+            rows, by_severity = _written_counts(shard_dir)
+            if expected_rows is not None and rows != expected_rows:
+                # at-least-once map retries can leave stray fragments if a
+                # task died mid-write AND its retry split batches
+                # differently (the deterministic content-hash fragment
+                # names cover the common same-split case); fail the shard
+                # BEFORE the manifest commit so the rerun wipes and
+                # rebuilds it instead of double-counting
+                raise RuntimeError(
+                    f"routed shard {key}: compacted {rows} rows but phase "
+                    f"A wrote {expected_rows}; shard left uncommitted"
+                )
+            manifest.commit(
+                key,
+                rows=rows,
+                inputs=shard_files,
+                wall_s=time.monotonic() - t0,
+                extra={"by_severity": by_severity},
             )
-        manifest.commit(
-            key,
-            rows=rows,
-            inputs=shard_files,
-            wall_s=time.monotonic() - t0,
-            extra={"by_severity": by_severity},
-        )
-    return manifest
+        return manifest
 
 
 def _parsed_enriched(shard_files: list[str], enrich: bool,

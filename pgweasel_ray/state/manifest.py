@@ -19,6 +19,75 @@ from pathlib import Path
 from typing import Any
 
 
+class RunLock:
+    """Exclusive-writer lock for one output root: two drivers resuming the
+    same out_dir must not interleave shard rebuilds + manifest commits
+    (each would hold its own in-memory entries and the last _save wins,
+    resurrecting or dropping the other's commits). O_CREAT|O_EXCL
+    lockfile holding the owner pid; the loser BLOCKS, then resumes against
+    the winner's committed manifest (so both callers return a complete
+    view). A lock whose recorded pid is dead is stale (crashed driver) and
+    is stolen — the read-check-unlink steal has a tiny race window, which
+    only two drivers BOTH stealing a third crashed driver's lock can hit;
+    the O_EXCL create after it still admits exactly one winner, the other
+    re-loops."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        self._held = False
+
+    def acquire(self, timeout_s: float = 600.0, poll_s: float = 0.1):
+        deadline = time.monotonic() + timeout_s
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                self._held = True
+                return self
+            except FileExistsError:
+                try:
+                    pid = int(self.path.read_text() or "0")
+                except (ValueError, OSError):
+                    pid = 0
+                if pid and not _pid_alive(pid):
+                    try:
+                        self.path.unlink()
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"route lock {self.path} held by pid {pid}"
+                    )
+                time.sleep(poll_s)
+
+    def release(self) -> None:
+        if self._held:
+            self._held = False
+            try:
+                self.path.unlink()
+            except FileNotFoundError:
+                pass
+
+    def __enter__(self):
+        return self.acquire()
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 class Manifest:
     def __init__(self, path: str | Path):
         self.path = Path(path)

@@ -278,3 +278,69 @@ def test_routed_readback_row_texts(routed, sf_dir):
     got_s = got.sort_values(key).reset_index(drop=True)
     want_s = want.sort_values(key).reset_index(drop=True)
     assert got_s.equals(want_s)
+
+
+def test_concurrent_routes_commit_exactly_once(sf_dir, tmp_path):
+    """Two drivers resuming the same out_dir: the RunLock serializes them;
+    the loser resumes against the winner's committed manifest — one
+    manifest, no duplicated shard rows (round-4 exactly-once item)."""
+    import threading
+
+    from pgweasel_ray.pipelines import router
+
+    out = str(tmp_path / "concurrent")
+    results, errors = [], []
+
+    def run():
+        try:
+            results.append(router.route(sf_dir, out_dir=out, num_shards=2))
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(results) == 2
+    # both callers see the same complete manifest
+    assert results[0].total_rows() == results[1].total_rows()
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/shard=*/**/*.parquet', "
+        "hive_partitioning=true)"
+    ).fetchone()[0]
+    assert rows == results[0].total_rows()
+    # lock released
+    assert not (tmp_path / "concurrent" / ".route.lock").exists()
+
+
+def test_stale_lock_from_dead_driver_is_stolen(sf_dir, tmp_path):
+    import subprocess
+    import sys
+
+    from pgweasel_ray.pipelines import router
+
+    out = tmp_path / "stale"
+    out.mkdir()
+    dead = subprocess.run([sys.executable, "-c", "import os; print(os.getpid())"],
+                          capture_output=True, text=True)
+    (out / ".route.lock").write_text(dead.stdout.strip())
+    m = router.route(sf_dir, out_dir=str(out), num_shards=2)
+    assert m.total_rows() > 0
+    assert not (out / ".route.lock").exists()
+
+
+def test_live_lock_blocks_then_times_out(tmp_path):
+    import os
+
+    from pgweasel_ray.state.manifest import RunLock
+
+    lock = tmp_path / ".route.lock"
+    lock.write_text(str(os.getpid()))  # held by a live pid (us)
+    import pytest
+
+    with pytest.raises(TimeoutError):
+        RunLock(lock).acquire(timeout_s=0.5)
