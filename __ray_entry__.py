@@ -71,6 +71,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_image_stats": dataprep.multimodal_image_stats,
         "docs_minhash_sim_topk": dataprep.docs_minhash_sim_topk,
         "docs_line_dedup": dataprep.docs_line_dedup,
+        "docs_contamination_overlap": dataprep.docs_contamination_overlap,
+        "docs_heavy_hitters_cms": dataprep.docs_heavy_hitters_cms,
+        "docs_source_stats": dataprep.docs_source_stats,
+        "events_user_sessions_salted": windows.events_user_sessions_salted,
         # --- tier C: r02-green, pushed out of the r03 window --------------
         "ann_cosine_topk": dataprep.ann_cosine_topk,
         "docs_lang_id": dataprep.docs_lang_id,
@@ -87,8 +91,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": dataprep.dedup_components,
         "dedup_cluster_best": dataprep.dedup_cluster_best,
         "dedup_simhash": dataprep.dedup_simhash,
-        "docs_token_stats": dataprep.docs_token_stats,
-        "docs_bpe_tokens": dataprep.docs_bpe_tokens,
         "docs_quality": dataprep.docs_quality,
         "docs_quality_filter": dataprep.docs_quality_filter,
         "events_value_quantiles": events.events_value_quantiles,
@@ -96,10 +98,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": events.events_funnel,
         "events_anomaly": events.events_anomaly,
         "events_asof_prior": windows.events_asof_prior,
-        "errors_list": core.errors_list,
-        "errors_by_severity": core.errors_by_severity,
         # ---- slot 50 boundary: entries below are long-stable (green since
         # r01/r02) and fall outside the driver's window this round ---------
+        "docs_token_stats": dataprep.docs_token_stats,
+        "docs_bpe_tokens": dataprep.docs_bpe_tokens,
+        "errors_list": core.errors_list,
+        "errors_by_severity": core.errors_by_severity,
         "errors_top_messages": core.errors_top_messages,
         "errors_hist": core.errors_hist,
         "errors_masked": core.errors_masked,       # F3 mask/contains

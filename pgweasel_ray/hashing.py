@@ -65,6 +65,13 @@ JC_DEN = 10
 SAMPLE_A = 1103515245          # affine sampling hash: ((id % P)*A + B) % P
 SAMPLE_B = 12345
 
+# --- count-min sketch (word heavy hitters) -------------------------------------
+CMS_D = 4                      # hash rows
+CMS_W = 1024                   # buckets per row
+_cms_rng = np.random.default_rng(987654)
+CMS_A = _cms_rng.integers(1, P, CMS_D, dtype=np.int64)
+CMS_B = _cms_rng.integers(0, P, CMS_D, dtype=np.int64)
+
 # --- deterministic training-order shuffle --------------------------------------
 # Distinct affine constants from SAMPLE_* so sampling and shuffling are
 # independent permutations; A coprime with the prime P ⇒ the key map is a

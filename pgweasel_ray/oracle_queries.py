@@ -713,6 +713,52 @@ JOIN sig_t sb ON sb.doc_id = c.b
 ORDER BY n_match DESC, c.a, c.b LIMIT {k}"""
 
 
+def _contamination_overlap_sql() -> str:
+    """Fractional benchmark-overlap replayed over the shared gram CTE:
+    distinct grams, intersect size, integer permille — all-integer."""
+    mx = dataprep.DECONTAM_BENCH_MAX_ID
+    return f"""WITH {H.sql_gram_hashes_cte()}, g AS (
+  SELECT doc_id, list_distinct(hs) AS grams FROM gh
+), bgl AS (
+  SELECT coalesce(list_distinct(flatten(list(hs))), []) AS bg
+  FROM gh WHERE doc_id < {mx}
+)
+SELECT g.doc_id,
+       len(g.grams)::BIGINT AS n_grams,
+       len(list_intersect(g.grams, bgl.bg))::BIGINT AS n_overlap,
+       (1000 * len(list_intersect(g.grams, bgl.bg))
+        // len(g.grams))::BIGINT AS overlap_permille
+FROM g, bgl WHERE g.doc_id >= {mx}"""
+
+
+def _heavy_hitters_cms_sql() -> str:
+    """CMS registers replayed literally: same poly word hash, same seeded
+    affine row hashes (constants embedded from hashing.py), registers as
+    a grouped count over word occurrences."""
+    rows = "\n  UNION ALL ".join(
+        f"SELECT {d} AS row, (({int(H.CMS_A[d])} * h + {int(H.CMS_B[d])}) "
+        f"% {H.P}) % {H.CMS_W} AS bucket FROM h"
+        for d in range(H.CMS_D)
+    )
+    return rf"""WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
+  FROM documents
+), h AS (SELECT {H.sql_poly_hash('word')} AS h FROM w),
+r AS (
+  {rows}
+)
+SELECT row, bucket, count(*)::BIGINT AS cnt
+FROM r GROUP BY row, bucket ORDER BY row, bucket"""
+
+
+def _source_stats_sql() -> str:
+    return r"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens,
+       sum(length(text))::BIGINT AS n_chars
+FROM documents GROUP BY source"""
+
+
 def build_oracles(sf_dir: str) -> dict[str, str]:
     ensure_fixture(sf_dir)  # the oracle may run before the Ray query does
     glob = transcripts_glob(sf_dir)
@@ -724,7 +770,7 @@ def build_oracles(sf_dir: str) -> dict[str, str]:
     b10 = oracle.bucket_expr(core.CONN_BUCKET_S)
     eh = oracle.bucket_expr(3600)
 
-    return {
+    out = {
         "errors_list": f"""{cte}
 SELECT conv_id, turn_idx, severity, message, text FROM parsed
 WHERE severity_rank >= {core.ERROR_RANK}""",
@@ -1019,8 +1065,15 @@ LIMIT 10""",
         "multimodal_image_stats": _multimodal_image_stats_sql(),
         "docs_line_dedup": _line_dedup_sql(),
         "docs_minhash_sim_topk": _minhash_sim_topk_sql(),
+        "docs_contamination_overlap": _contamination_overlap_sql(),
+        "docs_heavy_hitters_cms": _heavy_hitters_cms_sql(),
+        "docs_source_stats": _source_stats_sql(),
         "ann_lsh_topk": _ann_lsh_sql(dataprep._embedding_dim(sf_dir)),
         "ann_ivf_topk": _ann_ivf_sql(sf_dir),
         "embed_neardup": _embed_neardup_sql(dataprep._embedding_dim(sf_dir)),
         "docs_semdedup": _semdedup_sql(sf_dir),
     }
+    # the salted split-merge path must produce the identical result, so it
+    # shares the unsalted oracle verbatim
+    out["events_user_sessions_salted"] = out["events_user_sessions"]
+    return out

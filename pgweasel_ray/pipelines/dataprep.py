@@ -3008,3 +3008,158 @@ def docs_minhash_sim_topk(sf_dir: str) -> Dataset:
 
 def _rename_sig(batch: pa.Table, id_to: str, sig_to: str) -> pa.Table:
     return pa.table({id_to: batch["doc_id"], sig_to: batch["sig"]})
+
+
+# --- contamination overlap scoring ----------------------------------------------
+
+class ContaminationOverlapStage:
+    """Per corpus doc: how MUCH of its distinct shingle set appears in the
+    benchmark set — the fractional companion to the boolean
+    DecontaminateStage (GPT-3-style n-gram contamination scoring: report
+    the overlap, let the curator pick the threshold). Benchmark grams
+    broadcast once; corpus text never shuffles."""
+
+    def __init__(self, bench_grams):
+        import ray
+
+        if isinstance(bench_grams, ray.ObjectRef):
+            bench_grams = ray.get(bench_grams)
+        self.bench = bench_grams  # sorted np.int64 array
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        corpus = ids >= DECONTAM_BENCH_MAX_ID
+        texts = [t for t, c in zip(batch["text"].to_pylist(), corpus) if c]
+        ids = ids[corpus]
+        if not texts:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_grams": pa.array([], type=pa.int64()),
+                "n_overlap": pa.array([], type=pa.int64()),
+                "overlap_permille": pa.array([], type=pa.int64()),
+            })
+        values, offsets = H.gram_sets_docs(texts)   # distinct sorted per doc
+        n_grams = (offsets[1:] - offsets[:-1]).astype(np.int64)  # >= 1 (pad)
+        if len(self.bench):
+            idx = np.searchsorted(self.bench, values)
+            idx[idx == len(self.bench)] = 0
+            hits = (self.bench[idx] == values).astype(np.int64)
+            n_overlap = np.add.reduceat(hits, offsets[:-1].astype(np.int64))
+            n_overlap = np.asarray(n_overlap, dtype=np.int64)
+        else:
+            n_overlap = np.zeros(len(texts), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_grams": pa.array(n_grams, type=pa.int64()),
+            "n_overlap": pa.array(n_overlap, type=pa.int64()),
+            "overlap_permille": pa.array(1000 * n_overlap // n_grams,
+                                         type=pa.int64()),
+        })
+
+
+def docs_contamination_overlap(sf_dir: str) -> Dataset:
+    """Benchmark-overlap score per corpus doc: distinct-shingle count,
+    how many are benchmark shingles, and the integer permille ratio.
+    All-integer ⇒ oracle-exact; the bounded benchmark read is pushed into
+    the parquet scan (_bench_gram_set)."""
+    import ray
+
+    ref = ray.put(_bench_gram_set(sf_dir))
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"_cls": ContaminationOverlapStage, "_args": (ref,)},
+    )
+
+
+# --- count-min sketch word heavy hitters ----------------------------------------
+
+def _cms_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch CMS register partials over the batch's word OCCURRENCES:
+    for each of CMS_D seeded affine hash rows, bucket = ((a*h + b) % P)
+    % CMS_W, register += occurrence count. At most CMS_D × CMS_W rows per
+    batch; the final merge is a grouped SUM — registers are sum-mergeable,
+    so the shuffle is O(registers) at any corpus size (the HLL pattern,
+    for counts instead of distincts)."""
+    words = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"\s+")
+    flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+    flat = flat[flat != ""]
+    if not len(flat):
+        return pa.table({"row": pa.array([], type=pa.int64()),
+                         "bucket": pa.array([], type=pa.int64()),
+                         "cnt": pa.array([], type=pa.int64())})
+    uw, counts = np.unique(flat, return_counts=True)
+    h = H.word_hash_array(list(uw))
+    rows, buckets, cnts = [], [], []
+    for d in range(H.CMS_D):
+        b = ((H.CMS_A[d] * h + H.CMS_B[d]) % H.P) % H.CMS_W
+        reg = np.bincount(b, weights=counts, minlength=H.CMS_W)
+        nz = np.nonzero(reg)[0]
+        rows.append(np.full(len(nz), d, dtype=np.int64))
+        buckets.append(nz.astype(np.int64))
+        cnts.append(reg[nz].astype(np.int64))
+    return pa.table({
+        "row": pa.array(np.concatenate(rows), type=pa.int64()),
+        "bucket": pa.array(np.concatenate(buckets), type=pa.int64()),
+        "cnt": pa.array(np.concatenate(cnts), type=pa.int64()),
+    })
+
+
+def docs_heavy_hitters_cms(sf_dir: str) -> Dataset:
+    """Count-min-sketch registers for corpus word counts (Cormode &
+    Muthukrishnan 2005): CMS_D seeded hash rows × CMS_W buckets, built
+    from per-batch partials and merged with a grouped SUM — the
+    sum-mergeable-sketch pattern (HLL's counting sibling). The
+    oracle-checked output is the integer registers; cms_estimate()
+    answers point queries (min over rows) from them."""
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        _cms_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby(["row", "bucket"]).aggregate(
+        Sum("cnt", alias_name="cnt")
+    ).sort(["row", "bucket"])
+
+
+def cms_estimate(registers: pd.DataFrame, words: list[str]) -> dict[str, int]:
+    """Point-query estimates (upper bounds, exact sans collisions): min
+    over the CMS_D rows of each word's bucket register."""
+    reg = np.zeros((H.CMS_D, H.CMS_W), dtype=np.int64)
+    reg[registers["row"].to_numpy(), registers["bucket"].to_numpy()] = (
+        registers["cnt"].to_numpy()
+    )
+    h = H.word_hash_array([w.lower() for w in words])
+    out = {}
+    for j, w in enumerate(words):
+        b = ((H.CMS_A * h[j] + H.CMS_B) % H.P) % H.CMS_W
+        out[w] = int(reg[np.arange(H.CMS_D), b].min())
+    return out
+
+
+# --- per-source corpus stats -----------------------------------------------------
+
+def _source_partials(batch: pa.Table) -> pa.Table:
+    text = batch["text"]
+    t = pa.table({
+        "source": batch["source"],
+        "n_tokens": pc.cast(
+            pc.count_substring_regex(text, TOKEN_PATTERN), pa.int64()
+        ),
+        "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+    })
+    agg = t.group_by(["source"]).aggregate(
+        [("n_tokens", "sum"), ("n_chars", "sum"), ([], "count_all")]
+    )
+    return agg.rename_columns(["source", "n_tokens", "n_chars", "n_docs"])
+
+
+def docs_source_stats(sf_dir: str) -> Dataset:
+    """Per-source corpus report (docs / tokens / chars) — the input a
+    mixture-sampling plan starts from. Per-batch pre-aggregation, then a
+    |sources|-row grouped SUM: the shuffle is one row per (block, source)."""
+    partials = _docs(sf_dir, ["text", "source"]).map_batches(
+        _source_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_tokens", alias_name="n_tokens"),
+        Sum("n_chars", alias_name="n_chars"),
+    )

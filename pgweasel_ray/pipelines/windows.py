@@ -105,6 +105,12 @@ def events_user_sessions(sf_dir: str, salt_days: bool = False) -> Dataset:
     return _keyed_blocks(partials, ["user_id"], _merge_day_partials)
 
 
+def events_user_sessions_salted(sf_dir: str) -> Dataset:
+    """Driver-facing wrapper for the (user_id, day)-salted split-merge
+    path; shares the unsalted query's oracle (identical result required)."""
+    return events_user_sessions(sf_dir, salt_days=True)
+
+
 def _add_day(batch: pa.Table) -> pa.Table:
     us = pc.cast(batch["ts"], pa.int64())
     day = pc.divide(us, 86_400_000_000)

@@ -30,6 +30,8 @@ MUST_VERIFY = {
     "routed_counts",
     # new in round 4
     "multimodal_image_stats", "docs_line_dedup", "docs_minhash_sim_topk",
+    "docs_contamination_overlap", "docs_heavy_hitters_cms",
+    "docs_source_stats", "events_user_sessions_salted",
 }
 
 
