@@ -36,8 +36,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the FIRST 50 entries. Policy (VERDICT r03 item #1): never-driver-green
     # queries first, then queries whose implementation changed this round,
     # then a rotation of recently-green ones; long-stable parity queries
-    # (green since r01) sit past slot 50. tests/test_query_window.py pins
-    # the must-verify set inside the window.
+    # (green since r01) sit past slot 50. tests/test_round4.py
+    # (test_driver_window_covers_must_verify) pins the must-verify set
+    # inside the window.
     from pgweasel_ray.pipelines import (core, dataprep, events, export,
                                         router, windows)
 
@@ -75,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heavy_hitters_cms": dataprep.docs_heavy_hitters_cms,
         "docs_source_stats": dataprep.docs_source_stats,
         "events_user_sessions_salted": windows.events_user_sessions_salted,
+        "events_range_join": windows.events_range_join,
         # --- tier C: r02-green, pushed out of the r03 window --------------
         "ann_cosine_topk": dataprep.ann_cosine_topk,
         "docs_lang_id": dataprep.docs_lang_id,
@@ -97,9 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": events.events_retention,
         "events_funnel": events.events_funnel,
         "events_anomaly": events.events_anomaly,
-        "events_asof_prior": windows.events_asof_prior,
         # ---- slot 50 boundary: entries below are long-stable (green since
-        # r01/r02) and fall outside the driver's window this round ---------
+        # r01/r02) or r03-green and fall outside the window this round -----
+        "events_asof_prior": windows.events_asof_prior,
         "docs_token_stats": dataprep.docs_token_stats,
         "docs_bpe_tokens": dataprep.docs_bpe_tokens,
         "errors_list": core.errors_list,

@@ -17,6 +17,7 @@ from . import hashing as H
 from . import oracle, patterns
 from .pipelines import core, dataprep
 from .pipelines import events as events_mod
+from .pipelines import windows as windows_mod
 from .sources.transcripts import ensure_fixture, lookup_path, transcripts_glob
 
 _SQLSTATE = patterns.SQLSTATE_PATTERN
@@ -964,6 +965,20 @@ WITH b AS (
 SELECT bucket_ts, cnt FROM b, st
 WHERE (n*cnt - s)*(n*cnt - s) > {events_mod.ANOM_Z * events_mod.ANOM_Z}*(n*q - s*s)
 ORDER BY bucket_ts""",
+        # range join: integer-µs bounds so the comparison is bit-identical
+        # to the kernel's int64 searchsorted arithmetic
+        "events_range_join": f"""
+WITH w AS (
+  SELECT event_id AS window_id, epoch_us(ts) AS wts
+  FROM events WHERE event_type = '{windows_mod.RJ_ANCHOR_TYPE}'
+)
+SELECT w.window_id, count(*)::BIGINT AS n_in_window,
+       sum(CASE WHEN e.event_type = '{windows_mod.RJ_ERR_TYPE}'
+                THEN 1 ELSE 0 END)::BIGINT AS n_errors
+FROM w JOIN events e
+  ON epoch_us(e.ts) >= w.wts
+ AND epoch_us(e.ts) < w.wts + {windows_mod.RJ_WINDOW_S * 1_000_000}
+GROUP BY w.window_id ORDER BY w.window_id""",
         "conv_tool_transitions": f"""
 WITH t AS (
   SELECT conv_id, tool,

@@ -32,6 +32,7 @@ MUST_VERIFY = {
     "multimodal_image_stats", "docs_line_dedup", "docs_minhash_sim_topk",
     "docs_contamination_overlap", "docs_heavy_hitters_cms",
     "docs_source_stats", "events_user_sessions_salted",
+    "events_range_join",
 }
 
 
