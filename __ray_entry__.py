@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "routed_counts": router.routed_counts,
         # --- tier B: new in round 4 ---------------------------------------
         "multimodal_image_stats": dataprep.multimodal_image_stats,
+        "multimodal_audio_stats": dataprep.multimodal_audio_stats,
         "docs_minhash_sim_topk": dataprep.docs_minhash_sim_topk,
         "docs_line_dedup": dataprep.docs_line_dedup,
         "docs_contamination_overlap": dataprep.docs_contamination_overlap,
@@ -77,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_stats": dataprep.docs_source_stats,
         "events_user_sessions_salted": windows.events_user_sessions_salted,
         "events_range_join": windows.events_range_join,
+        "docs_stratified_sample": dataprep.docs_stratified_sample,
+        "embed_label_centroids": dataprep.embed_label_centroids,
+        "events_value_hist_quantiles": events.events_value_hist_quantiles,
         # --- tier C: r02-green, pushed out of the r03 window --------------
         "ann_cosine_topk": dataprep.ann_cosine_topk,
         "docs_lang_id": dataprep.docs_lang_id,
@@ -95,12 +99,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dataprep.dedup_simhash,
         "docs_quality": dataprep.docs_quality,
         "docs_quality_filter": dataprep.docs_quality_filter,
+        # ---- slot 50 boundary: entries below are long-stable (green since
+        # r01/r02) or r03-green and fall outside the window this round -----
         "events_value_quantiles": events.events_value_quantiles,
         "events_retention": events.events_retention,
         "events_funnel": events.events_funnel,
         "events_anomaly": events.events_anomaly,
-        # ---- slot 50 boundary: entries below are long-stable (green since
-        # r01/r02) or r03-green and fall outside the window this round -----
         "events_asof_prior": windows.events_asof_prior,
         "docs_token_stats": dataprep.docs_token_stats,
         "docs_bpe_tokens": dataprep.docs_bpe_tokens,

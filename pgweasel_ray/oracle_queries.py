@@ -671,6 +671,32 @@ FROM p CROSS JOIN LATERAL (
 GROUP BY p.doc_id, p.height, p.width, p.channels"""
 
 
+def _multimodal_audio_stats_sql() -> str:
+    """The deterministic audio law (stages/multimodal.py AUD_* — the parity
+    source) replayed in SQL: per-doc header fields from the same modular
+    arithmetic, sum/energy via a lateral generate-series over the sample
+    index — so the oracle checks the DECODED stats. All-integer."""
+    from .stages import multimodal as MM
+
+    return f"""WITH p AS (
+  SELECT doc_id,
+         ({MM.AUD_RATE_BASE} + (doc_id % {MM.AUD_RATE_MOD})
+            * {MM.AUD_RATE_STEP})::BIGINT AS sample_rate,
+         ({MM.AUD_N_BASE} + doc_id % {MM.AUD_N_MOD})::BIGINT AS n_samples,
+         doc_id * {MM.SYNTH_PX_A} AS base,
+         1 + doc_id % {MM.SYNTH_STEP_MOD} AS step
+  FROM documents
+)
+SELECT p.doc_id, p.sample_rate, p.n_samples,
+       sum((p.base + g.i * p.step) % 65536 - 32768)::BIGINT AS s_sum,
+       sum(((p.base + g.i * p.step) % 65536 - 32768)
+           * ((p.base + g.i * p.step) % 65536 - 32768))::BIGINT AS s_sqsum
+FROM p CROSS JOIN LATERAL (
+  SELECT unnest(range(0, p.n_samples)) AS i
+) g
+GROUP BY p.doc_id, p.sample_rate, p.n_samples"""
+
+
 def _line_dedup_sql() -> str:
     """Line dedup replayed literally on line STRINGS: min packed
     (doc_id << LINE_IDX_BITS | idx) per distinct line, kept-per-doc counts,
@@ -881,6 +907,22 @@ SELECT event_type, p.pct::BIGINT AS pct, value
 FROM r JOIN (VALUES {', '.join(f'({p})' for p in events_mod.EVQ_PCTS)})
   p(pct) ON r.rk = (p.pct * (r.n - 1)) // 100
 ORDER BY event_type, pct""",
+        # histogram-sketch quantiles: the same fixed-bin + nearest-rank
+        # selection rule replayed (floor(value) is exact in both engines)
+        "events_value_hist_quantiles": f"""
+WITH b AS (
+  SELECT event_type, floor(value)::BIGINT AS bin, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bin,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM b
+)
+SELECT c.event_type, p.pct::BIGINT AS pct, min(c.bin)::BIGINT AS est_bin
+FROM c JOIN (VALUES {', '.join(f'({p})' for p in events_mod.HISTQ_PCTS)})
+  p(pct) ON c.cum >= (p.pct * (c.n - 1)) // 100 + 1
+GROUP BY 1, 2 ORDER BY 1, 2""",
         "events_retention": f"""
 WITH w AS (
   SELECT user_id,
@@ -1063,6 +1105,27 @@ LIMIT 10""",
         "docs_sample_hash": _sample_hash_sql(),
         "docs_mixture_sample": _mixture_sample_sql(),
         "docs_topk_per_source": _topk_per_source_sql(),
+        "docs_stratified_sample": f"""
+WITH s AS (
+  SELECT source, doc_id,
+         (((doc_id % {H.P}) * {H.SAMPLE_A} + {H.SAMPLE_B}) % {H.P}) AS u
+  FROM documents)
+SELECT source, doc_id FROM s
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY u, doc_id)
+        <= {dataprep.STRATIFIED_K}
+ORDER BY source, doc_id""",
+        # fixed-point vector aggregate: floor(v * 2^20) is bit-exact in both
+        # engines (power-of-two scaling), int64 sums are order-independent
+        "embed_label_centroids": f"""
+WITH e AS (
+  SELECT label,
+         (generate_subscripts(embedding, 1) - 1)::BIGINT AS dim,
+         floor(unnest(embedding)::DOUBLE
+               * {dataprep.CENTROID_SCALE})::BIGINT AS q
+  FROM embeddings)
+SELECT label::BIGINT AS label, dim, sum(q)::BIGINT AS sum_q,
+       count(*)::BIGINT AS n_vecs
+FROM e GROUP BY 1, 2""",
         "docs_vocab_topk": _vocab_topk_sql(),
         "docs_decontaminate": _decontaminate_sql(),
         "docs_length_quantiles": _length_quantiles_sql(),
@@ -1078,6 +1141,7 @@ LIMIT 10""",
         "docs_gopher_filter": _gopher_filter_sql(),
         "corpus_export_counts": _corpus_export_counts_sql(),
         "multimodal_image_stats": _multimodal_image_stats_sql(),
+        "multimodal_audio_stats": _multimodal_audio_stats_sql(),
         "docs_line_dedup": _line_dedup_sql(),
         "docs_minhash_sim_topk": _minhash_sim_topk_sql(),
         "docs_contamination_overlap": _contamination_overlap_sql(),

@@ -1346,6 +1346,121 @@ def docs_topk_per_source(sf_dir: str, k: int = TOPK_PER_GROUP_K
     ).reset_index(drop=True)[["source", "doc_id", "n_tokens"]]
 
 
+# fixed-point 2^20: a float64 times a power of two is EXACT (exponent shift
+# only), so floor(v * 2^20) is bit-identical in numpy and DuckDB and the
+# int64 sums are order-independent — the trick that makes a VECTOR aggregate
+# oracle-checkable where float sums are not.
+CENTROID_SCALE = 1 << 20
+
+
+def _centroid_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch partial centroid state: (label, dim, sum_q, n) with sum_q
+    the fixed-point component sum — the mergeable state of a distributed
+    vector mean (labels_in_batch × dim rows per batch, never per vec)."""
+    if batch.num_rows == 0:
+        return pa.table({
+            "label": pa.array([], type=pa.int64()),
+            "dim": pa.array([], type=pa.int64()),
+            "sum_q": pa.array([], type=pa.int64()),
+            "n_vecs": pa.array([], type=pa.int64()),
+        })
+    emb = batch["embedding"]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    mat = np.asarray(emb.flatten(), dtype=np.float64).reshape(len(batch), -1)
+    q = np.floor(mat * CENTROID_SCALE).astype(np.int64)
+    lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(lab, kind="stable")
+    lab_s, q_s = lab[order], q[order]
+    first = np.r_[True, lab_s[1:] != lab_s[:-1]]
+    starts = np.flatnonzero(first)
+    sums = np.add.reduceat(q_s, starts, axis=0)          # (L, dim)
+    counts = np.diff(np.r_[starts, len(lab_s)])
+    labels = lab_s[starts]
+    dim = q.shape[1]
+    return pa.table({
+        "label": pa.array(np.repeat(labels, dim), type=pa.int64()),
+        "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(labels)),
+                        type=pa.int64()),
+        "sum_q": pa.array(sums.ravel(), type=pa.int64()),
+        "n_vecs": pa.array(np.repeat(counts.astype(np.int64), dim),
+                           type=pa.int64()),
+    })
+
+
+def embed_label_centroids(sf_dir: str) -> Dataset:
+    """Per-label embedding CENTROID state (the k-means/class-prototype
+    aggregate): for every (label, dimension), the exact fixed-point
+    component sum and vector count. Per-batch numpy partials pre-aggregate
+    before the one small groupby — the shuffle moves labels × dim rows per
+    block, never embeddings — and the (sum, count) pairs are the mergeable
+    state an iterative k-means or a streaming prototype update needs."""
+    ds = _embeddings(sf_dir, ["embedding", "label"])
+    partials = ds.map_batches(
+        _centroid_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby(["label", "dim"]).aggregate(
+        Sum("sum_q", alias_name="sum_q"), Sum("n_vecs", alias_name="n_vecs")
+    )
+
+
+STRATIFIED_K = 25  # exact per-source quota
+
+
+def _doc_source_u(batch: pa.Table) -> pa.Table:
+    """(doc_id, source, u) where u is the affine id hash — the same
+    SQL-twinned primitive docs_sample_hash filters on, here used as a
+    deterministic random rank."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    u = ((ids % H.P) * H.SAMPLE_A + H.SAMPLE_B) % H.P
+    return pa.table(
+        {"doc_id": batch["doc_id"], "source": batch["source"],
+         "u": pa.array(u, type=pa.int64())}
+    )
+
+
+def _bottomk_u_block(batch: pa.Table, k: int) -> pa.Table:
+    """k smallest (u, doc_id) rows per source within one batch/block —
+    per-block combiner and final per-group-exclusive reducer (the
+    ascending twin of _topk_rows_block)."""
+    if batch.num_rows == 0:
+        return batch
+    src = np.asarray(batch["source"].to_pandas(), dtype=object)
+    codes = np.unique(src, return_inverse=True)[1]
+    u = batch["u"].to_numpy(zero_copy_only=False)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, u, codes))
+    c = codes[order]
+    first = np.r_[True, c[1:] != c[:-1]]
+    start = np.maximum.accumulate(np.where(first, np.arange(len(c)), 0))
+    keep = (np.arange(len(c)) - start) < k
+    return batch.take(pa.array(order[keep]))
+
+
+def docs_stratified_sample(sf_dir: str, k: int = STRATIFIED_K
+                           ) -> pd.DataFrame:
+    """STRATIFIED SAMPLING with exact per-stratum quotas: exactly k docs
+    per source (fewer iff the stratum is smaller), chosen as the k
+    smallest affine-hash ranks — deterministic, rerun-stable, and
+    partitioning-independent, unlike rate-based hash sampling whose
+    per-stratum counts are only binomially close to the quota. Same
+    two-level shape as docs_topk_per_source: per-block bottom-k combiner,
+    keyed reduce on source-exclusive blocks; the exchange moves
+    O(k * sources * blocks) 24-byte rows, never the corpus."""
+    local = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        _doc_source_u, batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(
+        _bottomk_u_block, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"k": k},
+    ).materialize()
+    top = _keyed_blocks(local, ["source"], _bottomk_u_block,
+                        fn_kwargs={"k": k})
+    df = top.to_pandas()
+    return df.sort_values(["source", "doc_id"]).reset_index(drop=True)[
+        ["source", "doc_id"]
+    ]
+
+
 VOCAB_TOP_K = 50
 
 
@@ -2797,6 +2912,25 @@ def multimodal_image_stats(sf_dir: str) -> Dataset:
     )
     return imgs.map_batches(
         MM.ImageStatsStage, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4), batch_size=256,
+    )
+
+
+def multimodal_audio_stats(sf_dir: str) -> Dataset:
+    """Audio decode/featurize as a first-class multimodal pipeline: binary
+    audio payloads (synthesised deterministically per doc_id — the AUD_*
+    law in stages/multimodal.py is the parity source) travel as an Arrow
+    binary column into an ACTOR-POOL decode stage, which emits all-integer
+    stats (sample_rate, n_samples, s_sum, s_sqsum — sum and energy).
+    Oracle: the same law replayed in SQL over generate_series, so the
+    decode path is correctness-gated, not just the plumbing."""
+    from ..stages import multimodal as MM
+
+    aud = _docs(sf_dir, ["doc_id"]).map_batches(
+        MM.synth_audio, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return aud.map_batches(
+        MM.AudioStatsStage, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, 4), batch_size=256,
     )
 

@@ -240,6 +240,58 @@ def events_value_quantiles(sf_dir: str, pcts: tuple[int, ...] = EVQ_PCTS):
     )
 
 
+HISTQ_PCTS = (50, 90, 99)
+HISTQ_BIN_WIDTH = 1.0  # unit-width bins: floor(value) is exact in both engines
+
+
+def _hist_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch (event_type, bin, cnt) partials — the mergeable state of a
+    fixed-bin histogram sketch (bin = floor(value); integer counts merge by
+    addition in any order)."""
+    import numpy as np
+
+    v = batch["value"].to_numpy(zero_copy_only=False)
+    b = np.floor(v).astype(np.int64)
+    t = pa.table({"event_type": batch["event_type"],
+                  "bin": pa.array(b, type=pa.int64())})
+    agg = t.group_by(["event_type", "bin"]).aggregate([([], "count_all")])
+    return agg.rename_columns(["event_type", "bin", "cnt"])
+
+
+def events_value_hist_quantiles(sf_dir: str,
+                                pcts: tuple[int, ...] = HISTQ_PCTS):
+    """APPROXIMATE quantiles from a mergeable fixed-bin HISTOGRAM SKETCH —
+    the scale companion to events_value_quantiles' exact selection: per-
+    batch (event_type, bin) count partials merge through one tiny groupby
+    (commutative int sums, no sort, no second pass over the data), and the
+    estimate is the bin containing the nearest-rank index (error ≤ bin
+    width, here 1.0). The only driver materialization is the histogram
+    itself — bounded by event_types × value_range/width rows, independent
+    of the event count, which is exactly what makes the sketch the
+    10^12-row path. Deterministic, so the same selection rule replayed in
+    SQL is bit-equal."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    hist = _events(sf_dir, ["event_type", "value"]).map_batches(
+        _hist_partials, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["event_type", "bin"]).aggregate(
+        Sum("cnt", alias_name="cnt")
+    ).to_pandas()
+    out = []
+    for etype, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("bin")
+        cum = g["cnt"].cumsum().to_numpy()
+        bins = g["bin"].to_numpy()
+        n = int(cum[-1])
+        for pct in pcts:
+            k = pct * (n - 1) // 100
+            out.append((etype, pct, int(bins[np.searchsorted(cum, k + 1)])))
+    return pd.DataFrame(out, columns=["event_type", "pct", "est_bin"])
+
+
 # --- weekly retention cohorts ---------------------------------------------------
 
 RETENTION_WEEK_S = 7 * 86400

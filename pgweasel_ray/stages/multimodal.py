@@ -40,6 +40,15 @@ SYNTH_C_MOD = 3
 SYNTH_PX_A = 2654435761          # Knuth multiplicative-hash constant
 SYNTH_STEP_MOD = 7
 
+# Deterministic synthetic-audio law (PARITY SOURCE — the oracle SQL in
+# oracle_queries._multimodal_audio_stats_sql is generated from these):
+#   sample_rate = AUD_RATE_BASE + (doc_id % AUD_RATE_MOD) * AUD_RATE_STEP
+#   n_samples   = AUD_N_BASE + doc_id % AUD_N_MOD
+#   sample[i]   = ((doc_id*SYNTH_PX_A + i*(1 + doc_id % SYNTH_STEP_MOD))
+#                  % 65536) - 32768   (int16 range by construction)
+AUD_RATE_BASE, AUD_RATE_MOD, AUD_RATE_STEP = 8000, 3, 4000
+AUD_N_BASE, AUD_N_MOD = 64, 101
+
 
 def fake_image(height: int, width: int, channels: int = 3, seed: int = 0) -> bytes:
     rng = np.random.default_rng(seed)
@@ -240,6 +249,72 @@ class ImageResizeStage:
         return batch.set_column(
             idx, self.image_col, pa.array(resized, type=pa.binary())
         )
+
+
+def synth_audio(batch: pa.Table) -> pa.Table:
+    """doc_id → deterministic FAKEAUD payload per the AUD_* law. Sample
+    generation is one flat numpy pass for the whole batch (the per-row
+    Python is only header packing + buffer slicing)."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rate = AUD_RATE_BASE + (ids % AUD_RATE_MOD) * AUD_RATE_STEP
+    n = AUD_N_BASE + ids % AUD_N_MOD
+    base = ids * SYNTH_PX_A
+    step = 1 + ids % SYNTH_STEP_MOD
+    starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+    i = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(starts, n)
+    s = (((np.repeat(base, n) + i * np.repeat(step, n)) % 65536) - 32768
+         ).astype(np.int16)
+    payloads = [
+        AUD_MAGIC + struct.pack("<II", rate[j], n[j])
+        + s[starts[j]:starts[j] + n[j]].tobytes()
+        for j in range(len(ids))
+    ]
+    return pa.table(
+        {"doc_id": batch["doc_id"],
+         "audio": pa.array(payloads, type=pa.binary())}
+    )
+
+
+class AudioStatsStage:
+    """binary audio → (sample_rate, n_samples, s_sum, s_sqsum) — the
+    decode-and-featurize stage with ALL-INTEGER outputs so the result is
+    oracle-checkable. Real path (``soundfile`` present) decodes actual
+    audio; the deterministic fake codec parses the FAKEAUD header."""
+
+    def __init__(self, audio_col: str = "audio"):
+        self.audio_col = audio_col
+        try:  # pragma: no cover - library absent in this container
+            import soundfile  # noqa: F401
+
+            self._sf = soundfile
+        except ImportError:
+            self._sf = None
+
+    def _stats(self, data: bytes) -> tuple[int, int, int, int]:
+        if data[: len(AUD_MAGIC)] == AUD_MAGIC:
+            rate, n = struct.unpack_from("<II", data, len(AUD_MAGIC))
+            s = np.frombuffer(data, dtype=np.int16,
+                              offset=len(AUD_MAGIC) + 8, count=n
+                              ).astype(np.int64)
+            return rate, n, int(s.sum()), int((s * s).sum())
+        if self._sf is not None:  # pragma: no cover
+            import io
+
+            s, rate = self._sf.read(io.BytesIO(data), dtype="int16")
+            s = np.asarray(s, dtype=np.int64).ravel()
+            return int(rate), len(s), int(s.sum()), int((s * s).sum())
+        raise NotImplementedError(
+            "real audio decoding requires soundfile; payload is not FAKEAUD"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = [self._stats(v) for v in batch[self.audio_col].to_pylist()]
+        r, n, ss, sq = zip(*vals) if vals else ((), (), (), ())
+        batch = batch.drop_columns([self.audio_col])
+        for name, col in (("sample_rate", r), ("n_samples", n),
+                          ("s_sum", ss), ("s_sqsum", sq)):
+            batch = batch.append_column(name, pa.array(col, type=pa.int64()))
+        return batch
 
 
 class AudioFrameStage:

@@ -32,7 +32,8 @@ MUST_VERIFY = {
     "multimodal_image_stats", "docs_line_dedup", "docs_minhash_sim_topk",
     "docs_contamination_overlap", "docs_heavy_hitters_cms",
     "docs_source_stats", "events_user_sessions_salted",
-    "events_range_join",
+    "events_range_join", "docs_stratified_sample", "embed_label_centroids",
+    "multimodal_audio_stats", "events_value_hist_quantiles",
 }
 
 
