@@ -219,3 +219,155 @@ def test_line_dedup_all_lines_duplicated(tmp_path):
     assert out.loc[1, "n_kept"] == 0          # 'a' and 'b' both seen in doc 0
     assert out.loc[2, "n_kept"] == 0          # 'c' and 'a' both seen in doc 0
     assert out.loc[3, "n_lines"] == 1 and out.loc[3, "n_kept"] == 1
+
+
+# --- bucketed range join kernels ------------------------------------------------
+
+def _rj_brute(ts_us, etypes, eids):
+    """O(n^2) reference: per purchase anchor, count events / errors in
+    [ts, ts+W)."""
+    from pgweasel_ray.pipelines import windows as W
+
+    out = {}
+    for t0, ty, i in zip(ts_us, etypes, eids):
+        if ty != W.RJ_ANCHOR_TYPE:
+            continue
+        n = sum(1 for t in ts_us if t0 <= t < t0 + W.RJ_WINDOW_S * 1_000_000)
+        ne = sum(1 for t, y in zip(ts_us, etypes)
+                 if y == W.RJ_ERR_TYPE
+                 and t0 <= t < t0 + W.RJ_WINDOW_S * 1_000_000)
+        out[i] = (n, ne)
+    return out
+
+
+def _rj_run_kernels(ts_us, etypes):
+    """tag -> group rows by hash-partition-free full concat -> block kernel
+    per distinct bucket subset union (single block == all buckets, which the
+    kernel must handle since hash partitions hold MANY buckets)."""
+    from pgweasel_ray.pipelines import windows as W
+
+    eids = list(range(len(ts_us)))
+    batch = pa.table({
+        "event_id": pa.array(eids, type=pa.int64()),
+        "ts": pa.array(ts_us, type=pa.timestamp("us")),
+        "event_type": pa.array(etypes),
+    })
+    tagged = W._rj_tag(batch)
+    got = W._rj_block(tagged)
+    res = {w: (n, ne) for w, n, ne in zip(got["window_id"].to_pylist(),
+                                          got["n_in_window"].to_pylist(),
+                                          got["n_errors"].to_pylist())}
+    return res, eids
+
+
+def test_range_join_kernel_matches_brute_force():
+    from pgweasel_ray.pipelines import windows as W
+
+    B = W.RJ_WINDOW_S * 1_000_000
+    # boundary-heavy fixture: anchors exactly on a bucket edge, events at
+    # ts+W (excluded), ts (included, the anchor itself), across-bucket hits
+    ts = [0, 1, B - 1, B, B + 1, B + B // 2, 2 * B, 2 * B + 5,
+          3 * B - 1, 3 * B, 10 * B + 17]
+    ty = ["purchase", "error", "click", "purchase", "error", "purchase",
+          "error", "purchase", "error", "click", "purchase"]
+    got, eids = _rj_run_kernels(ts, ty)
+    want = _rj_brute(ts, ty, eids)
+    assert got == want
+
+
+def test_range_join_kernel_randomized_vs_brute():
+    import numpy as np
+
+    from pgweasel_ray.pipelines import windows as W
+
+    rng = np.random.default_rng(7)
+    B = W.RJ_WINDOW_S * 1_000_000
+    ts = sorted(int(x) for x in rng.integers(0, 8 * B, 400))
+    ty = list(rng.choice(["purchase", "error", "click", "view"], 400))
+    got, eids = _rj_run_kernels(ts, ty)
+    want = _rj_brute(ts, ty, eids)
+    assert got == want
+
+
+# --- stratified sample kernel ----------------------------------------------------
+
+def test_bottomk_u_block_exact_quota_and_ties():
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+        "source": pa.array(["a", "a", "a", "b", "b", "b"]),
+        "u": pa.array([5, 5, 1, 9, 9, 9], type=pa.int64()),
+    })
+    out = dataprep._bottomk_u_block(t, k=2)
+    got = sorted(zip(out["source"].to_pylist(), out["doc_id"].to_pylist()))
+    # ties on u resolve by doc_id asc: a -> (u=1 id=2), (u=5 id=0)
+    assert got == [("a", 0), ("a", 2), ("b", 3), ("b", 4)]
+
+
+# --- centroid fixed-point kernel --------------------------------------------------
+
+def test_centroid_partials_match_direct_numpy():
+    import numpy as np
+
+    vecs = np.array([[0.5, -0.25, 1.0 / 3.0],
+                     [-0.5, 0.125, -1.0 / 3.0],
+                     [0.1, 0.2, 0.3]], dtype=np.float32)
+    labels = [1, 0, 1]
+    t = pa.table({
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(labels, type=pa.int32()),
+    })
+    out = dataprep._centroid_partials(t).to_pandas()
+    q = np.floor(vecs.astype(np.float64) * dataprep.CENTROID_SCALE)
+    for _, r in out.iterrows():
+        rows = [i for i, l in enumerate(labels) if l == r["label"]]
+        assert r["sum_q"] == int(q[rows, int(r["dim"])].sum())
+        assert r["n_vecs"] == len(rows)
+
+
+# --- audio law -------------------------------------------------------------------
+
+def test_synth_audio_law_matches_per_sample_reference():
+    import struct
+
+    from pgweasel_ray.stages import multimodal as MM
+
+    ids = [0, 1, 7, 499, 54321]
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+    out = MM.synth_audio(t)
+    for j, doc_id in enumerate(ids):
+        data = out["audio"][j].as_py()
+        assert data[: len(MM.AUD_MAGIC)] == MM.AUD_MAGIC
+        rate, n = struct.unpack_from("<II", data, len(MM.AUD_MAGIC))
+        assert rate == MM.AUD_RATE_BASE + (doc_id % MM.AUD_RATE_MOD) * MM.AUD_RATE_STEP
+        assert n == MM.AUD_N_BASE + doc_id % MM.AUD_N_MOD
+        s = np.frombuffer(data, dtype=np.int16, offset=len(MM.AUD_MAGIC) + 8)
+        step = 1 + doc_id % MM.SYNTH_STEP_MOD
+        want = [((doc_id * MM.SYNTH_PX_A + i * step) % 65536) - 32768
+                for i in range(n)]
+        assert s.tolist() == want
+        st = MM.AudioStatsStage()(out.slice(j, 1))
+        assert st["s_sum"][0].as_py() == sum(want)
+        assert st["s_sqsum"][0].as_py() == sum(x * x for x in want)
+
+
+# --- histogram-sketch quantiles ----------------------------------------------------
+
+def test_hist_quantile_selection_rule_vs_exact():
+    """est_bin must equal floor(exact nearest-rank quantile) for unit bins."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vals = rng.uniform(0, 50, 999)
+    bins = np.floor(vals).astype(np.int64)
+    order = np.sort(vals)
+    # replay the selection rule over a single-type histogram
+    import pandas as pd
+    hist = pd.Series(bins).value_counts().sort_index()
+    cum = hist.cumsum().to_numpy()
+    bs = hist.index.to_numpy()
+    n = len(vals)
+    for pct in (50, 90, 99):
+        k = pct * (n - 1) // 100
+        est = int(bs[np.searchsorted(cum, k + 1)])
+        assert est == int(np.floor(order[k]))
