@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": dataprep.docs_stratified_sample,
         "embed_label_centroids": dataprep.embed_label_centroids,
         "events_value_hist_quantiles": events.events_value_hist_quantiles,
+        "docs_weighted_sample": dataprep.docs_weighted_sample,
+        "docs_inverted_postings": dataprep.docs_inverted_postings,
         # --- tier C: r02-green, pushed out of the r03 window --------------
         "ann_cosine_topk": dataprep.ann_cosine_topk,
         "docs_lang_id": dataprep.docs_lang_id,
@@ -97,10 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": dataprep.dedup_components,
         "dedup_cluster_best": dataprep.dedup_cluster_best,
         "dedup_simhash": dataprep.dedup_simhash,
-        "docs_quality": dataprep.docs_quality,
-        "docs_quality_filter": dataprep.docs_quality_filter,
         # ---- slot 50 boundary: entries below are long-stable (green since
         # r01/r02) or r03-green and fall outside the window this round -----
+        "docs_quality": dataprep.docs_quality,
+        "docs_quality_filter": dataprep.docs_quality_filter,
         "events_value_quantiles": events.events_value_quantiles,
         "events_retention": events.events_retention,
         "events_funnel": events.events_funnel,

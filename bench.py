@@ -144,12 +144,21 @@ def run_bench() -> dict:
                          ("docs_select_budget",
                           dataprep.docs_select_budget),
                          ("docs_gopher_filter",
-                          dataprep.docs_gopher_filter)):
+                          dataprep.docs_gopher_filter),
+                         ("docs_stratified_sample",
+                          dataprep.docs_stratified_sample),
+                         ("embed_label_centroids",
+                          dataprep.embed_label_centroids),
+                         ("multimodal_audio_stats",
+                          dataprep.multimodal_audio_stats)):
             timed_e2e(name, fn, SF_DIR)
 
         from pgweasel_ray.pipelines import events, windows
 
         timed_e2e("events_asof_prior", windows.events_asof_prior, SF_DIR)
+        timed_e2e("events_range_join", windows.events_range_join, SF_DIR)
+        timed_e2e("events_value_hist_quantiles",
+                  events.events_value_hist_quantiles, SF_DIR)
         timed_e2e("events_funnel", events.events_funnel, SF_DIR)
         timed_e2e("events_retention", events.events_retention, SF_DIR)
         timed_e2e("conv_tool_transitions",

@@ -208,6 +208,25 @@ SELECT word, count(*) AS cnt FROM w
 GROUP BY word ORDER BY cnt DESC, word LIMIT {dataprep.VOCAB_TOP_K}"""
 
 
+def _inverted_postings_sql() -> str:
+    """Vocab pass + tf + per-word top-k replayed with the same tie rules
+    (count DESC, word ASC for the vocab; tf DESC, doc_id ASC per word)."""
+    return rf"""WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS word
+  FROM documents
+), v AS (
+  SELECT word FROM w GROUP BY word
+  ORDER BY count(*) DESC, word LIMIT {dataprep.POSTINGS_VOCAB}
+), tf AS (
+  SELECT w.word, w.doc_id, count(*)::BIGINT AS tf
+  FROM w JOIN v USING (word) GROUP BY 1, 2
+)
+SELECT word, doc_id, tf FROM tf
+QUALIFY row_number() OVER (PARTITION BY word ORDER BY tf DESC, doc_id)
+        <= {dataprep.POSTINGS_K}
+ORDER BY word, doc_id"""
+
+
 def _decontaminate_sql() -> str:
     """Same rule as DecontaminateStage: corpus docs (doc_id >= bench max)
     sharing no word-shingle hash with any benchmark doc."""
@@ -1103,6 +1122,10 @@ LIMIT 10""",
         "docs_scrub": _scrub_sql(),
         "docs_repetition": _repetition_sql(),
         "docs_sample_hash": _sample_hash_sql(),
+        "docs_weighted_sample": f"""SELECT doc_id FROM documents
+WHERE (((doc_id % {H.P}) * {H.SAMPLE_A} + {H.SAMPLE_B}) % {H.P})
+      * {dataprep.WSAMPLE_DEN} < n_chars::BIGINT * {H.P}""",
+        "docs_inverted_postings": _inverted_postings_sql(),
         "docs_mixture_sample": _mixture_sample_sql(),
         "docs_topk_per_source": _topk_per_source_sql(),
         "docs_stratified_sample": f"""

@@ -1461,6 +1461,32 @@ def docs_stratified_sample(sf_dir: str, k: int = STRATIFIED_K
     ]
 
 
+WSAMPLE_DEN = 1000  # keep probability = min(1, n_chars / WSAMPLE_DEN)
+
+
+def _weighted_sample_filter(batch: pa.Table) -> pa.Table:
+    """Size-biased Bernoulli keep: u * DEN < n_chars * P, all-int64 (u < P
+    = 2^31-1 and n_chars·P < 2^41, so no overflow) — the deterministic
+    weighted twin of _sample_filter."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    u = ((ids % H.P) * H.SAMPLE_A + H.SAMPLE_B) % H.P
+    w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return batch.filter(pa.array(u * WSAMPLE_DEN < w * H.P))
+
+
+def docs_weighted_sample(sf_dir: str) -> Dataset:
+    """WEIGHTED (size-biased) deterministic sampling: each doc kept with
+    probability proportional to its length (min(1, n_chars/DEN)), decided
+    by the same affine id hash the uniform sampler uses — stateless,
+    shuffle-free, rerun- and partitioning-stable, and exactly replayable
+    in SQL because the keep rule is a pure int64 inequality. The primitive
+    behind proportional-to-size corpus subsetting (longer docs carry more
+    tokens, so token-budget sampling wants them kept more often)."""
+    return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        _weighted_sample_filter, batch_format="pyarrow", zero_copy_batch=True,
+    ).select_columns(["doc_id"])
+
+
 VOCAB_TOP_K = 50
 
 
@@ -1485,6 +1511,74 @@ def docs_vocab_topk(sf_dir: str, k: int = VOCAB_TOP_K) -> Dataset:
     )
     counts = grouped_count(words, ["word"])
     return counts.sort(["cnt", "word"], descending=[True, False]).limit(k)
+
+
+POSTINGS_VOCAB = 20  # index the top-V corpus words ...
+POSTINGS_K = 5       # ... keeping the k highest-tf docs per word
+
+
+def _tf_partials(batch: pa.Table, vocab: frozenset) -> pa.Table:
+    """Per-batch (word, doc_id, tf) partials restricted to the broadcast
+    vocabulary — the shuffle moves per-(batch, word, doc) counts, never the
+    exploded token stream."""
+    words = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"\s+")
+    n = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(words)
+    ids = np.repeat(
+        batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), n
+    )
+    t = pa.table({"word": flat, "doc_id": pa.array(ids, type=pa.int64())})
+    t = t.filter(pc.is_in(t["word"], value_set=pa.array(sorted(vocab))))
+    agg = t.group_by(["word", "doc_id"]).aggregate([([], "count_all")])
+    return agg.rename_columns(["word", "doc_id", "tf"])
+
+
+def _topk_tf_block(batch: pa.Table, k: int) -> pa.Table:
+    """k highest-(tf, then doc_id asc) rows per word within one block —
+    combiner and word-exclusive final reducer."""
+    if batch.num_rows == 0:
+        return batch
+    w = np.asarray(batch["word"].to_pandas(), dtype=object)
+    codes = np.unique(w, return_inverse=True)[1]
+    tf = batch["tf"].to_numpy(zero_copy_only=False)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -tf, codes))
+    c = codes[order]
+    first = np.r_[True, c[1:] != c[:-1]]
+    start = np.maximum.accumulate(np.where(first, np.arange(len(c)), 0))
+    keep = (np.arange(len(c)) - start) < k
+    return batch.take(pa.array(order[keep]))
+
+
+def docs_inverted_postings(sf_dir: str, v: int = POSTINGS_VOCAB,
+                           k: int = POSTINGS_K) -> pd.DataFrame:
+    """INVERTED-INDEX construction (the search-index build of a corpus
+    pipeline): for each of the top-v corpus words, the k documents with the
+    highest term frequency. Three bounded stages: (1) the vocab pass
+    (pre-aggregated counts + distributed sort/limit) yields v words — a
+    tiny set, broadcast into (2) per-batch tf partials that drop every
+    non-vocab token BEFORE the shuffle, merged by one (word, doc_id)
+    groupby, then (3) the two-level top-k combiner/reducer per word. No
+    stage materializes the token stream; driver state is the v-word list
+    and the v×k result."""
+    from ray.data.aggregate import Sum
+
+    vocab_df = docs_vocab_topk(sf_dir, k=v).to_pandas()
+    vocab = frozenset(vocab_df["word"])
+    tf = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _tf_partials, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"vocab": vocab},
+    ).groupby(["word", "doc_id"]).aggregate(
+        Sum("tf", alias_name="tf")
+    ).map_batches(
+        _topk_tf_block, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"k": k},
+    ).materialize()
+    top = _keyed_blocks(tf, ["word"], _topk_tf_block, fn_kwargs={"k": k})
+    df = top.to_pandas()
+    return df.sort_values(["word", "doc_id"]).reset_index(drop=True)[
+        ["word", "doc_id", "tf"]
+    ]
 
 
 # --- unigram LM surprisal (CCNet-style quality signal) -----------------------

@@ -34,6 +34,7 @@ MUST_VERIFY = {
     "docs_source_stats", "events_user_sessions_salted",
     "events_range_join", "docs_stratified_sample", "embed_label_centroids",
     "multimodal_audio_stats", "events_value_hist_quantiles",
+    "docs_weighted_sample", "docs_inverted_postings",
 }
 
 
