@@ -372,3 +372,44 @@ def test_hist_quantile_selection_rule_vs_exact():
         k = pct * (n - 1) // 100
         est = int(bs[np.searchsorted(cum, k + 1)])
         assert est == int(np.floor(order[k]))
+
+
+# --- weighted sampling / inverted postings kernels --------------------------------
+
+def test_weighted_sample_filter_matches_probability_rule():
+    from pgweasel_ray import hashing as H
+
+    ids = np.arange(200, dtype=np.int64)
+    n_chars = np.int64(1) + (ids * 37) % 1500  # some above DEN -> always kept
+    t = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(n_chars)})
+    out = dataprep._weighted_sample_filter(t)
+    kept = set(out["doc_id"].to_pylist())
+    for i, w in zip(ids, n_chars):
+        u = ((int(i) % H.P) * H.SAMPLE_A + H.SAMPLE_B) % H.P
+        assert ((int(i) in kept)
+                == (u * dataprep.WSAMPLE_DEN < int(w) * H.P))
+    # every doc at least DEN chars long is kept with certainty
+    assert {int(i) for i, w in zip(ids, n_chars)
+            if w >= dataprep.WSAMPLE_DEN} <= kept
+
+
+def test_tf_partials_drop_non_vocab_before_shuffle():
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["the cat the dog", "THE the bird"]),
+    })
+    out = dataprep._tf_partials(t, vocab=frozenset({"the"}))
+    got = {(r["word"], r["doc_id"]): r["tf"]
+           for r in out.to_pylist()}
+    assert got == {("the", 1): 2, ("the", 2): 2}  # lowercased, others dropped
+
+
+def test_topk_tf_block_tie_resolution():
+    t = pa.table({
+        "word": pa.array(["w", "w", "w"]),
+        "doc_id": pa.array([9, 3, 5], type=pa.int64()),
+        "tf": pa.array([4, 4, 7], type=pa.int64()),
+    })
+    out = dataprep._topk_tf_block(t, k=2)
+    got = sorted(zip(out["doc_id"].to_pylist(), out["tf"].to_pylist()))
+    assert got == [(3, 4), (5, 7)]  # tf desc, then doc_id asc among ties
