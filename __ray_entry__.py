@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_hist_quantiles": events.events_value_hist_quantiles,
         "docs_weighted_sample": dataprep.docs_weighted_sample,
         "docs_inverted_postings": dataprep.docs_inverted_postings,
+        "docs_decontaminate_bloom": dataprep.docs_decontaminate_bloom,
+        "docs_source_distinct_hll": dataprep.docs_source_distinct_hll,
         # --- tier C: r02-green, pushed out of the r03 window --------------
         "ann_cosine_topk": dataprep.ann_cosine_topk,
         "docs_lang_id": dataprep.docs_lang_id,
@@ -97,10 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dataprep.dedup_exact,
         "dedup_minhash": dataprep.dedup_minhash,
         "dedup_components": dataprep.dedup_components,
-        "dedup_cluster_best": dataprep.dedup_cluster_best,
-        "dedup_simhash": dataprep.dedup_simhash,
         # ---- slot 50 boundary: entries below are long-stable (green since
         # r01/r02) or r03-green and fall outside the window this round -----
+        "dedup_cluster_best": dataprep.dedup_cluster_best,
+        "dedup_simhash": dataprep.dedup_simhash,
         "docs_quality": dataprep.docs_quality,
         "docs_quality_filter": dataprep.docs_quality_filter,
         "events_value_quantiles": events.events_value_quantiles,

@@ -664,6 +664,50 @@ SELECT bucket::BIGINT AS bucket,
 FROM r GROUP BY bucket ORDER BY bucket"""
 
 
+def _source_distinct_hll_sql() -> str:
+    """Per-source HLL registers replayed literally (same poly-hash, same
+    bucket/rank split as the global sketch, group keyed by source)."""
+    m = dataprep.HLLG_BUCKETS
+    rb = dataprep.HLLG_REM_BITS
+    return rf"""WITH t AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS word
+  FROM documents
+), w AS (SELECT DISTINCT source, word FROM t),
+h AS (SELECT source, {H.sql_poly_hash('word')} AS h FROM w),
+r AS (SELECT source, h % {m} AS bucket, h // {m} AS rem FROM h)
+SELECT source, bucket::BIGINT AS bucket,
+       max(CASE WHEN rem = 0 THEN {rb + 1}
+                ELSE {rb} - (length(bin(rem)) - 1) END)::BIGINT AS rho
+FROM r GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def _decontaminate_bloom_sql() -> str:
+    """The same two-position bloom replayed: positions built from the
+    benchmark grams, corpus doc contaminated iff ANY gram finds BOTH its
+    positions set (false positives and all)."""
+    mx = dataprep.DECONTAM_BENCH_MAX_ID
+    M, P = dataprep.BLOOM_M, H.P
+    A, B = H.SAMPLE_A, H.SAMPLE_B
+    return f"""WITH {H.sql_gram_hashes_cte()}, bg AS (
+  SELECT DISTINCT unnest(hs) AS g FROM gh WHERE doc_id < {mx}
+), pos AS (
+  SELECT DISTINCT p FROM (
+    SELECT g % {M} AS p FROM bg
+    UNION ALL
+    SELECT ((g * {A} + {B}) % {P}) % {M} AS p FROM bg
+  )
+), cg AS (
+  SELECT doc_id, unnest(hs) AS g FROM gh WHERE doc_id >= {mx}
+), hit AS (
+  SELECT DISTINCT cg.doc_id
+  FROM cg
+  JOIN pos a ON a.p = cg.g % {M}
+  JOIN pos b ON b.p = ((cg.g * {A} + {B}) % {P}) % {M}
+)
+SELECT doc_id FROM gh
+WHERE doc_id >= {mx} AND doc_id NOT IN (SELECT doc_id FROM hit)"""
+
+
 def _multimodal_image_stats_sql() -> str:
     """The deterministic image law (stages/multimodal.py SYNTH_* — the
     parity source) replayed in SQL: per-doc header fields from the same
@@ -1151,6 +1195,8 @@ SELECT label::BIGINT AS label, dim, sum(q)::BIGINT AS sum_q,
 FROM e GROUP BY 1, 2""",
         "docs_vocab_topk": _vocab_topk_sql(),
         "docs_decontaminate": _decontaminate_sql(),
+        "docs_decontaminate_bloom": _decontaminate_bloom_sql(),
+        "docs_source_distinct_hll": _source_distinct_hll_sql(),
         "docs_length_quantiles": _length_quantiles_sql(),
         "docs_normalize": _normalize_sql(),
         "dedup_chunks": _dedup_chunks_sql(),

@@ -1733,6 +1733,86 @@ def docs_decontaminate(sf_dir: str) -> Dataset:
     )
 
 
+BLOOM_M = 1 << 17  # bloom bits; filter state is M/8 = 16 KB at ANY bench size
+
+
+def _bloom_positions(g: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent bit positions per gram hash (g < P = 2^31, so the
+    affine product stays < 2^62): direct mod and the SQL-twinned affine
+    rehash — both replayed exactly in the oracle."""
+    p1 = g % BLOOM_M
+    p2 = (g * H.SAMPLE_A + H.SAMPLE_B) % H.P % BLOOM_M
+    return p1, p2
+
+
+def _bloom_partials(batch: pa.Table) -> pa.Table:
+    """Distinct bloom bit positions of one benchmark batch's shingles — the
+    mergeable build state (positions union by distinct, bounded by M)."""
+    g, _ = H.gram_hash_flat(batch["text"].to_pylist())
+    p1, p2 = _bloom_positions(g)
+    pos = np.unique(np.concatenate([p1, p2])) if len(g) else \
+        np.empty(0, np.int64)
+    return pa.table({"p": pa.array(pos, type=pa.int64())})
+
+
+class BloomDecontaminateStage:
+    """DecontaminateStage's bloom twin: membership against a broadcast
+    M-bit filter instead of the exact gram set. Conservative (false
+    positives over-drop, never under-drop); the win is that the broadcast
+    state is 16 KB regardless of benchmark size, where the exact set grows
+    with the benchmark's distinct shingles."""
+
+    def __init__(self, bits):
+        import ray
+
+        if isinstance(bits, ray.ObjectRef):
+            bits = ray.get(bits)
+        self.bits = bits  # np.bool_[BLOOM_M]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        g, gram_doc = H.gram_hash_flat(batch["text"].to_pylist())
+        p1, p2 = _bloom_positions(g)
+        hits = self.bits[p1] & self.bits[p2]
+        contaminated = np.bincount(
+            gram_doc[hits], minlength=len(ids)) > 0
+        keep = (ids >= DECONTAM_BENCH_MAX_ID) & ~contaminated
+        return pa.table({"doc_id": pa.array(ids[keep], type=pa.int64())})
+
+
+def docs_decontaminate_bloom(sf_dir: str) -> Dataset:
+    """BLOOM-FILTER decontamination — the huge-benchmark scale path: the
+    benchmark side is read DISTRIBUTED (predicate pushed into the parquet
+    scan), each batch emits its distinct bloom positions, one bounded
+    groupby merges them (≤ M rows however big the benchmark), and the
+    corpus streams through a broadcast 16 KB bit array. Compare
+    docs_decontaminate, whose exact broadcast set grows with the
+    benchmark; here a billion-doc benchmark still broadcasts 16 KB, at
+    the cost of a deterministic, oracle-replayed false-positive rate
+    (≈ (fill ratio)², over-drop only)."""
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data
+
+    from .common import grouped_count
+
+    bench = ray.data.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"), columns=["doc_id", "text"],
+        filter=(pads.field("doc_id") < DECONTAM_BENCH_MAX_ID),
+    ).select_columns(["text"])
+    pos = grouped_count(
+        bench.map_batches(_bloom_partials, batch_format="pyarrow",
+                          zero_copy_batch=True), ["p"]
+    ).to_pandas()
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    bits[pos["p"].to_numpy()] = True
+    ref = ray.put(bits)
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _stage_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"_cls": BloomDecontaminateStage, "_args": (ref,)},
+    )
+
+
 QUANTILE_PCTS = (0, 25, 50, 75, 100)
 
 
@@ -2972,6 +3052,61 @@ def docs_distinct_hll(sf_dir: str) -> Dataset:
     return partials.groupby("bucket").aggregate(
         Max("rho", alias_name="rho")
     ).sort("bucket")
+
+
+HLLG_P = 8                       # per-group registers: 2^8 (±6.5%) — small
+HLLG_BUCKETS = 1 << HLLG_P       # because register cost multiplies by the
+HLLG_REM_BITS = 31 - HLLG_P      # group count at 10^6+ groups
+
+
+def _hll_source_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch per-SOURCE HLL register partials: distinct (source, word)
+    pairs deduped on packed int64 (src_code << 31 | hash — both < 2^31),
+    registers max-folded per source. Emits ≤ sources_in_batch × 2^p rows;
+    the downstream merge is one grouped max on (source, bucket)."""
+    words = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"\s+")
+    n = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+    src = np.repeat(
+        np.asarray(batch["source"].to_pandas(), dtype=object), n)
+    nz = flat != ""
+    flat, src = flat[nz], src[nz]
+    empty = pa.table({"source": pa.array([], type=pa.string()),
+                      "bucket": pa.array([], type=pa.int64()),
+                      "rho": pa.array([], type=pa.int64())})
+    if not len(flat):
+        return empty
+    srcs, code = np.unique(src, return_inverse=True)
+    h = H.word_hash_array(list(flat))
+    key = np.unique((code.astype(np.int64) << 31) | h)
+    sc, h = key >> 31, key & ((1 << 31) - 1)
+    bucket = h % HLLG_BUCKETS
+    rem = h // HLLG_BUCKETS
+    rho = np.where(
+        rem == 0, HLLG_REM_BITS + 1,
+        HLLG_REM_BITS - _floor_log2_exact(np.maximum(rem, 1)),
+    ).astype(np.int64)
+    reg = np.zeros((len(srcs), HLLG_BUCKETS), dtype=np.int64)
+    np.maximum.at(reg, (sc, bucket), rho)
+    si, bi = np.nonzero(reg)
+    return pa.table({"source": pa.array(srcs[si], type=pa.string()),
+                     "bucket": pa.array(bi.astype(np.int64)),
+                     "rho": pa.array(reg[si, bi], type=pa.int64())})
+
+
+def docs_source_distinct_hll(sf_dir: str) -> Dataset:
+    """PER-GROUP HyperLogLog: distinct-word registers per source — the
+    grouped-sketch pattern (a distinct-count per group without ever
+    shuffling words): per-batch register partials keyed by (source,
+    bucket), one grouped MAX merge, ≤ groups × 2^p rows end to end. The
+    register width is deliberately smaller than the global sketch's
+    (2^8 vs 2^12) because per-group state multiplies by the group count."""
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        _hll_source_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby(["source", "bucket"]).aggregate(
+        Max("rho", alias_name="rho")
+    ).sort(["source", "bucket"])
 
 
 def hll_estimate(registers: pd.DataFrame) -> float:

@@ -35,6 +35,7 @@ MUST_VERIFY = {
     "events_range_join", "docs_stratified_sample", "embed_label_centroids",
     "multimodal_audio_stats", "events_value_hist_quantiles",
     "docs_weighted_sample", "docs_inverted_postings",
+    "docs_decontaminate_bloom", "docs_source_distinct_hll",
 }
 
 
