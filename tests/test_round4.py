@@ -414,3 +414,57 @@ def test_topk_tf_block_tie_resolution():
     out = dataprep._topk_tf_block(t, k=2)
     got = sorted(zip(out["doc_id"].to_pylist(), out["tf"].to_pylist()))
     assert got == [(3, 4), (5, 7)]  # tf desc, then doc_id asc among ties
+
+
+# --- bloom decontamination / grouped HLL kernels -----------------------------------
+
+def test_bloom_stage_conservative_vs_exact():
+    """Bloom survivors are a subset of exact survivors (false positives
+    only ever over-drop), and every truly contaminated doc is dropped."""
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta",      # benchmark
+        10: "alpha beta gamma delta epsilon zeta",     # exact copy -> drop
+        11: "totally different words here none shared",
+        12: "more unrelated content nothing in common",
+    }
+    ids = sorted(texts)
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array([texts[i] for i in ids])})
+    g, _ = H.gram_hash_flat([texts[0]])
+    bits = np.zeros(dataprep.BLOOM_M, dtype=bool)
+    p1, p2 = dataprep._bloom_positions(g)
+    bits[p1] = True
+    bits[p2] = True
+    out = dataprep.BloomDecontaminateStage(bits)(t)
+    kept = set(out["doc_id"].to_pylist())
+    assert 10 not in kept            # shared shingles -> dropped
+    assert kept <= {11, 12}          # never keeps a benchmark doc
+
+
+def test_bloom_positions_int64_safe_and_in_range():
+    g = np.array([0, 1, H.P - 1], dtype=np.int64)
+    p1, p2 = dataprep._bloom_positions(g)
+    assert ((0 <= p1) & (p1 < dataprep.BLOOM_M)).all()
+    assert ((0 <= p2) & (p2 < dataprep.BLOOM_M)).all()
+
+
+def test_hll_source_partials_match_per_source_reference():
+    t = pa.table({
+        "source": pa.array(["a", "a", "b"]),
+        "text": pa.array(["x y z x", "y w", "x q"]),
+    })
+    out = dataprep._hll_source_partials(t).to_pandas()
+    for src, words in (("a", {"x", "y", "z", "w"}), ("b", {"x", "q"})):
+        h = H.word_hash_array(sorted(words))
+        bucket = h % dataprep.HLLG_BUCKETS
+        rem = h // dataprep.HLLG_BUCKETS
+        rho = np.where(
+            rem == 0, dataprep.HLLG_REM_BITS + 1,
+            dataprep.HLLG_REM_BITS
+            - dataprep._floor_log2_exact(np.maximum(rem, 1)))
+        want = {}
+        for b, r in zip(bucket, rho):
+            want[int(b)] = max(want.get(int(b), 0), int(r))
+        got = {int(r["bucket"]): int(r["rho"])
+               for _, r in out[out["source"] == src].iterrows()}
+        assert got == want
