@@ -150,7 +150,11 @@ def run_bench() -> dict:
                          ("embed_label_centroids",
                           dataprep.embed_label_centroids),
                          ("multimodal_audio_stats",
-                          dataprep.multimodal_audio_stats)):
+                          dataprep.multimodal_audio_stats),
+                         ("docs_decontaminate_bloom",
+                          dataprep.docs_decontaminate_bloom),
+                         ("docs_inverted_postings",
+                          dataprep.docs_inverted_postings)):
             timed_e2e(name, fn, SF_DIR)
 
         from pgweasel_ray.pipelines import events, windows
