@@ -85,6 +85,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_inverted_postings": dataprep.docs_inverted_postings,
         "docs_decontaminate_bloom": dataprep.docs_decontaminate_bloom,
         "docs_source_distinct_hll": dataprep.docs_source_distinct_hll,
+        "multimodal_video_frames": dataprep.multimodal_video_frames,
+        "docs_bigram_surprisal": dataprep.docs_bigram_surprisal,
+        "severity_tool_rollup": core.severity_tool_rollup,
+        "conv_tool_pagerank": windows.conv_tool_pagerank,
         # --- tier C: r02-green, pushed out of the r03 window --------------
         "ann_cosine_topk": dataprep.ann_cosine_topk,
         "docs_lang_id": dataprep.docs_lang_id,
@@ -94,13 +98,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": dataprep.docs_decontaminate,
         "docs_vocab_topk": dataprep.docs_vocab_topk,
         "docs_sample_hash": dataprep.docs_sample_hash,
+        # ---- slot 50 boundary: entries below are long-stable (green since
+        # r01/r02) or r02/r03-green and fall outside the window this round -
         "docs_length_quantiles": dataprep.docs_length_quantiles,
-        # --- tier D: r03-green rotation (dataprep + recent events ops) ----
         "dedup_exact": dataprep.dedup_exact,
         "dedup_minhash": dataprep.dedup_minhash,
         "dedup_components": dataprep.dedup_components,
-        # ---- slot 50 boundary: entries below are long-stable (green since
-        # r01/r02) or r03-green and fall outside the window this round -----
         "dedup_cluster_best": dataprep.dedup_cluster_best,
         "dedup_simhash": dataprep.dedup_simhash,
         "docs_quality": dataprep.docs_quality,

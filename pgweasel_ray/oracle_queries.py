@@ -760,6 +760,136 @@ FROM p CROSS JOIN LATERAL (
 GROUP BY p.doc_id, p.sample_rate, p.n_samples"""
 
 
+def _multimodal_video_frames_sql() -> str:
+    """The deterministic video law (stages/multimodal.py VID_* — the parity
+    source) replayed in SQL: sampled frame indices via range(0, n, k), per
+    frame a lateral generate-series over the pixel index inside that
+    frame's slice of the flat buffer — so BOTH decode hops (frame sample →
+    image stats) are correctness-gated. All-integer."""
+    from .stages import multimodal as MM
+
+    return f"""WITH p AS (
+  SELECT doc_id,
+         ({MM.VID_N_BASE} + doc_id % {MM.VID_N_MOD})::BIGINT AS n_frames,
+         ({MM.VID_H_BASE} + doc_id % {MM.VID_H_MOD})::BIGINT AS height,
+         ({MM.VID_W_BASE} + doc_id % {MM.VID_W_MOD})::BIGINT AS width,
+         (doc_id * {MM.SYNTH_PX_A}) % 256 AS base,
+         1 + doc_id % {MM.SYNTH_STEP_MOD} AS step
+  FROM documents
+), f AS (
+  SELECT p.*, g.frame_idx
+  FROM p CROSS JOIN LATERAL (
+    SELECT unnest(range(0, p.n_frames, {MM.VID_SAMPLE_K})) AS frame_idx
+  ) g
+)
+SELECT f.doc_id, f.frame_idx::BIGINT AS frame_idx, f.height, f.width,
+       1::BIGINT AS channels, (f.height * f.width)::BIGINT AS n_px,
+       sum((f.base + (f.frame_idx * f.height * f.width + j.i) * f.step)
+           % 256)::BIGINT AS px_sum
+FROM f CROSS JOIN LATERAL (
+  SELECT unnest(range(0, f.height * f.width)) AS i
+) j
+GROUP BY f.doc_id, f.frame_idx, f.height, f.width"""
+
+
+def _bigram_surprisal_sql() -> str:
+    """Conditional bigram surprisal replayed literally: same top-V unigram
+    vocab (count desc, word asc), same top-B in-vocab bigram table (count
+    desc, a, b), same integer floor-log2 via length(bin(q)) - 1 — bit-exact
+    against the pipeline's frexp kernel. Pairs come from a lag() window
+    over regexp_extract_all positions, the SQL twin of the kernel's
+    flat-adjacency derivation."""
+    v = dataprep.LM_VOCAB_TOP
+    b = dataprep.BG_VOCAB_TOP
+    return rf"""WITH tt AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+), w AS (
+  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS widx
+  FROM tt
+), cnt AS (
+  SELECT word, count(*)::BIGINT AS c FROM w GROUP BY word
+), tot AS (
+  SELECT sum(c)::BIGINT AS t FROM cnt
+), voc AS (
+  SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT {v}
+), pr0 AS (
+  SELECT doc_id, lag(word) OVER (PARTITION BY doc_id ORDER BY widx) AS a,
+         word AS b
+  FROM w
+), pr AS (
+  SELECT * FROM pr0 WHERE a IS NOT NULL
+), bgc AS (
+  SELECT pr.a, pr.b, count(*)::BIGINT AS c
+  FROM pr JOIN voc va ON pr.a = va.word JOIN voc vb ON pr.b = vb.word
+  GROUP BY pr.a, pr.b
+), bg AS (
+  SELECT a, b, c FROM bgc ORDER BY c DESC, a, b LIMIT {b}
+), sc AS (
+  SELECT pr.doc_id, bg.a IS NULL AS backoff,
+         length(bin(CASE WHEN va.word IS NULL THEN tot.t
+                         WHEN bg.a IS NULL THEN va.c
+                         ELSE va.c // bg.c END)) - 1 AS bits
+  FROM pr CROSS JOIN tot
+  LEFT JOIN voc va ON pr.a = va.word
+  LEFT JOIN bg ON pr.a = bg.a AND pr.b = bg.b
+)
+SELECT doc_id, count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN backoff THEN 1 ELSE 0 END)::BIGINT AS n_backoff,
+       sum(bits)::BIGINT AS sum_bits,
+       sum(bits)::DOUBLE / count(*) AS avg_bits
+FROM sc GROUP BY doc_id"""
+
+
+def _tool_pagerank_sql(glob: str) -> str:
+    """Fixed-point PageRank replayed as PR_ITERS chained CTEs over the same
+    transition-count edge table: same floor divisions, HUGEINT products
+    (rank·weight overflows BIGINT at realistic edge counts — the pipeline
+    uses Python ints for the same reason)."""
+    from .pipelines import windows as W
+
+    s, num, den = W.PR_SCALE, W.PR_DAMP_NUM, W.PR_DAMP_DEN
+    iters = []
+    for k in range(1, W.PR_ITERS + 1):
+        prev = f"r{k - 1}"
+        iters.append(f"""r{k} AS (
+  SELECT nd.tool,
+         ((({den} - {num})::HUGEINT * {s}) // ({den} * nn.n))
+         + ({num} * (coalesce(c.contrib, 0) + d.dang // nn.n)) // {den}
+           AS rank
+  FROM nd CROSS JOIN nn
+  CROSS JOIN (
+    SELECT coalesce(sum(r.rank), 0)::HUGEINT AS dang
+    FROM {prev} r JOIN deg ON deg.tool = r.tool WHERE deg.w = 0
+  ) d
+  LEFT JOIN (
+    SELECT e.dst AS tool, sum((r.rank * e.w) // deg.w) AS contrib
+    FROM e JOIN {prev} r ON e.src = r.tool
+    JOIN deg ON deg.tool = e.src
+    GROUP BY e.dst
+  ) c ON c.tool = nd.tool
+)""")
+    chain = ",\n".join(iters)
+    return f"""WITH t AS (
+  SELECT conv_id, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM read_parquet('{glob}')
+), e AS (
+  SELECT prev AS src, tool AS dst, count(*)::HUGEINT AS w
+  FROM t WHERE prev IS NOT NULL GROUP BY 1, 2
+), nd AS (
+  SELECT src AS tool FROM e UNION SELECT dst FROM e
+), nn AS (
+  SELECT count(*)::HUGEINT AS n FROM nd
+), deg AS (
+  SELECT nd.tool, coalesce(sum(e.w), 0)::HUGEINT AS w
+  FROM nd LEFT JOIN e ON e.src = nd.tool GROUP BY nd.tool
+), r0 AS (
+  SELECT nd.tool, ({s}::HUGEINT // nn.n) AS rank FROM nd CROSS JOIN nn
+),
+{chain}
+SELECT tool, rank::BIGINT AS rank FROM r{W.PR_ITERS} ORDER BY tool"""
+
+
 def _line_dedup_sql() -> str:
     """Line dedup replayed literally on line STRINGS: min packed
     (doc_id << LINE_IDX_BITS | idx) per distinct line, kept-per-doc counts,
@@ -1211,6 +1341,13 @@ FROM e GROUP BY 1, 2""",
         "corpus_export_counts": _corpus_export_counts_sql(),
         "multimodal_image_stats": _multimodal_image_stats_sql(),
         "multimodal_audio_stats": _multimodal_audio_stats_sql(),
+        "multimodal_video_frames": _multimodal_video_frames_sql(),
+        "docs_bigram_surprisal": _bigram_surprisal_sql(),
+        "severity_tool_rollup": f"""{cte}
+SELECT coalesce(severity, '{core.ROLLUP_ALL}') AS severity,
+       coalesce(tool, '{core.ROLLUP_ALL}') AS tool, count(*) AS cnt
+FROM parsed GROUP BY ROLLUP(severity, tool)""",
+        "conv_tool_pagerank": _tool_pagerank_sql(glob),
         "docs_line_dedup": _line_dedup_sql(),
         "docs_minhash_sim_topk": _minhash_sim_topk_sql(),
         "docs_contamination_overlap": _contamination_overlap_sql(),

@@ -583,3 +583,38 @@ def enriched_severity_counts(sf_dir: str) -> Dataset:
         enriched.select_columns(["tenant", "subsystem", "severity"]),
         ["tenant", "subsystem", "severity"],
     )
+
+
+# --- multi-level aggregate (ROLLUP / grouping sets) ---------------------------
+
+ROLLUP_ALL = "ALL"  # rollup placeholder (no severity/tool value collides)
+
+
+def severity_tool_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUPING-SETS/ROLLUP counts over (severity, tool) in ONE distributed
+    pass: the only shuffle is the finest-level grouped count (bounded at
+    |severities|×|tools| rows — tiny at any corpus size); the (severity)
+    subtotals and the grand total are DERIVED from that bounded table on
+    the driver, never a second scan. The reference has single-level
+    aggregators only (error_frequency.rs, connections.rs); this is the
+    multi-level report a fleet-wide triage view needs. 'ALL' is the rollup
+    placeholder, matching the oracle's coalesce over GROUP BY ROLLUP."""
+    ds = read_transcripts(sf_dir, columns=["text", "tool"])
+    rows = ds.map_batches(
+        parse_filter_project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(groups=("severity",), keep=("severity", "tool")),
+    )
+    fine = grouped_count(rows, ["severity", "tool"]).to_pandas()
+    sev = fine.groupby("severity", as_index=False)["cnt"].sum()
+    sev["tool"] = ROLLUP_ALL
+    total = pd.DataFrame(
+        {"severity": [ROLLUP_ALL], "tool": [ROLLUP_ALL],
+         "cnt": [int(fine["cnt"].sum())]}
+    )
+    out = pd.concat([fine, sev, total], ignore_index=True)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values(["severity", "tool"]).reset_index(drop=True)[
+        ["severity", "tool", "cnt"]
+    ]

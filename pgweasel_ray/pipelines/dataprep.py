@@ -1666,6 +1666,172 @@ def docs_lm_surprisal(sf_dir: str) -> Dataset:
     )
 
 
+# --- bigram LM surprisal (CCNet-style conditional-perplexity signal) ----------
+
+BG_VOCAB_TOP = 4096   # bigrams in the broadcast LM; everything else backs off
+
+
+def _adjacent_pairs(
+    batch: pa.Table,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flat (a, b, doc_idx) arrays of ADJACENT nonempty lowercased tokens
+    within each doc — the pair derivation shared by the bigram-count and
+    bigram-score kernels (the oracle replays it with a lag() window over
+    regexp_extract_all positions)."""
+    words = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"\s+")
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(lens)), lens)
+    flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+    keep = flat != ""
+    flat, doc_idx = flat[keep], doc_idx[keep]
+    if len(flat) < 2:
+        e = np.empty(0, dtype=object)
+        return e, e, np.empty(0, np.int64)
+    same = doc_idx[1:] == doc_idx[:-1]
+    return flat[:-1][same], flat[1:][same], doc_idx[1:][same]
+
+
+def _bigram_partials(batch: pa.Table, vocab_ref) -> pa.Table:
+    """Pre-aggregated per-batch bigram counts RESTRICTED to pairs whose both
+    words sit in the broadcast unigram vocab — the in-vocab filter runs
+    BEFORE the shuffle, and pairs travel as one packed int64 vocab-index
+    key (ia·V + ib), never as strings."""
+    import ray
+
+    vw = ray.get(vocab_ref)
+    a, b, _ = _adjacent_pairs(batch)
+    empty = pa.table({"key": pa.array([], type=pa.int64()),
+                      "cnt": pa.array([], type=pa.int64())})
+    if not len(a):
+        return empty
+    idx = pd.Index(vw)
+    ia, ib = idx.get_indexer(a), idx.get_indexer(b)
+    ok = (ia >= 0) & (ib >= 0)
+    if not ok.any():
+        return empty
+    key = ia[ok].astype(np.int64) * len(vw) + ib[ok]
+    uk, cnt = np.unique(key, return_counts=True)
+    return pa.table({"key": pa.array(uk, type=pa.int64()),
+                     "cnt": pa.array(cnt.astype(np.int64))})
+
+
+def _bigram_key_words(batch: pa.Table, vocab_ref) -> pa.Table:
+    """Unpack packed bigram keys back to (a, b) word strings so the top-B
+    selection can use the oracle's deterministic (cnt desc, a, b) order."""
+    import ray
+
+    vw = ray.get(vocab_ref)
+    k = batch["key"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "a": pa.array(vw[k // len(vw)], type=pa.string()),
+        "b": pa.array(vw[k % len(vw)], type=pa.string()),
+        "cnt": batch["cnt"],
+        "key": batch["key"],
+    })
+
+
+def _bigram_score_batch(batch: pa.Table, ref) -> pa.Table:
+    """Per-doc integer-quantized CONDITIONAL bigram surprisal: a pair (a, b)
+    scores floor(log2(c(a) // c(a,b))) bits when the bigram is in the LM,
+    floor(log2(c(a))) on bigram backoff (c(a,b) ⇒ 1), floor(log2(T)) when
+    the left word is OOV. All-integer ⇒ order-independent sums ⇒
+    hash-stable vs the oracle; avg_bits is one exact int/int division."""
+    import ray
+
+    vw, vc, total, bg_keys, bg_cnts = ray.get(ref)
+    V = len(vw)
+    a, b, doc_idx = _adjacent_pairs(batch)
+    n = batch.num_rows
+    idx = pd.Index(vw)
+    ia, ib = idx.get_indexer(a), idx.get_indexer(b)
+    key = np.where(
+        (ia >= 0) & (ib >= 0),
+        np.clip(ia, 0, None).astype(np.int64) * V + np.clip(ib, 0, None),
+        -1,
+    )
+    if len(bg_keys):
+        pos = np.clip(np.searchsorted(bg_keys, key), 0, len(bg_keys) - 1)
+        in_bg = (key >= 0) & (bg_keys[pos] == key)
+        c_bg = np.where(in_bg, bg_cnts[pos], 1)
+    else:
+        in_bg = np.zeros(len(key), dtype=bool)
+        c_bg = np.ones(len(key), dtype=np.int64)
+    c_a = np.where(ia >= 0, vc[np.clip(ia, 0, None)], 1).astype(np.int64)
+    q = np.where(ia < 0, total, np.where(in_bg, c_a // c_bg, c_a))
+    bits = _floor_log2_exact(q.astype(np.int64))
+    n_pairs = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    n_backoff = np.bincount(
+        doc_idx, weights=~in_bg, minlength=n
+    ).astype(np.int64)
+    sum_bits = np.bincount(doc_idx, weights=bits, minlength=n).astype(np.int64)
+    has = n_pairs > 0
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].filter(pa.array(has)),
+            "n_pairs": pa.array(n_pairs[has], type=pa.int64()),
+            "n_backoff": pa.array(n_backoff[has], type=pa.int64()),
+            "sum_bits": pa.array(sum_bits[has], type=pa.int64()),
+            "avg_bits": pa.array(
+                sum_bits[has] / n_pairs[has], type=pa.float64()
+            ),
+        }
+    )
+
+
+def docs_bigram_surprisal(sf_dir: str) -> Dataset:
+    """CONDITIONAL bigram-LM surprisal per document — the CCNet/KenLM-shaped
+    perplexity filter one order up from :func:`docs_lm_surprisal`: a doc
+    scores high when its word PAIRS are improbable given their left word
+    (shuffled/templated text scores high even when every individual word is
+    common).
+
+    Scale shape: both model tables are bounded and broadcast — the top
+    LM_VOCAB_TOP unigram counts and the top BG_VOCAB_TOP bigram counts
+    (bigram candidates are in-vocab-filtered and packed to int64 keys
+    BEFORE their shuffle, so the exchange moves vocab-index partials, never
+    word-pair strings); scoring is one stateless pass. Surprisal is
+    integer-quantized (floor-log2 bits, frexp kernel) so driver and oracle
+    agree bit-for-bit with no libm dependence."""
+    import ray
+
+    from .common import grouped_count
+
+    words = _docs(sf_dir, ["text"]).map_batches(
+        _explode_words, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = grouped_count(words, ["word"]).materialize()
+    total = int(counts.sum("cnt"))
+    voc = (
+        counts.sort(["cnt", "word"], descending=[True, False])
+        .limit(LM_VOCAB_TOP).to_pandas()
+    )
+    vw = voc["word"].to_numpy()
+    vref = ray.put(vw)
+    bg = (
+        _docs(sf_dir, ["text"]).map_batches(
+            _bigram_partials, batch_format="pyarrow", zero_copy_batch=True,
+            fn_kwargs={"vocab_ref": vref},
+        )
+        .groupby("key").aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(
+            _bigram_key_words, batch_format="pyarrow", zero_copy_batch=True,
+            fn_kwargs={"vocab_ref": vref},
+        )
+        .sort(["cnt", "a", "b"], descending=[True, False, False])
+        .limit(BG_VOCAB_TOP).to_pandas()
+    )
+    order = np.argsort(bg["key"].to_numpy())
+    ref = ray.put((
+        vw, voc["cnt"].to_numpy().astype(np.int64), total,
+        bg["key"].to_numpy()[order].astype(np.int64),
+        bg["cnt"].to_numpy()[order].astype(np.int64),
+    ))
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _bigram_score_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"ref": ref},
+    )
+
+
 DECONTAM_BENCH_MAX_ID = 10  # doc_id < 10 ⇒ benchmark member
 
 
@@ -3161,6 +3327,44 @@ def multimodal_audio_stats(sf_dir: str) -> Dataset:
     return aud.map_batches(
         MM.AudioStatsStage, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, 4), batch_size=256,
+    )
+
+
+def _frame_idx_to_int64(batch: pa.Table) -> pa.Table:
+    i = batch.schema.get_field_index("frame_idx")
+    return batch.set_column(
+        i, "frame_idx", pc.cast(batch["frame_idx"], pa.int64())
+    )
+
+
+def multimodal_video_frames(sf_dir: str) -> Dataset:
+    """Video frame-sampling as a first-class multimodal pipeline: binary
+    video payloads (synthesised deterministically per doc_id — the VID_*
+    law in stages/multimodal.py is the parity source) travel as an Arrow
+    binary column into an ACTOR-POOL frame-sample stage (the EXPLODE-shaped
+    multimodal stage: 1 video row → ⌈n_frames/k⌉ frame rows), and each
+    sampled frame flows through the image decode/featurize actor pool —
+    composing the two stages exactly as a frame-level training pipeline
+    would. Output is all-integer (doc_id, frame_idx, height, width,
+    channels, n_px, px_sum); the oracle replays the law in SQL over a
+    lateral generate-series per (doc, sampled frame), so BOTH decode hops
+    are correctness-gated. Batch sizes stay small because rows are
+    payload-heavy (SURVEY §4 memory note)."""
+    from ..stages import multimodal as MM
+
+    vids = _docs(sf_dir, ["doc_id"]).map_batches(
+        MM.synth_videos, batch_format="pyarrow", zero_copy_batch=True
+    )
+    frames = vids.map_batches(
+        MM.VideoFrameSampleStage, batch_format="pyarrow",
+        zero_copy_batch=True, concurrency=(1, 4), batch_size=128,
+        fn_constructor_kwargs={"every_k": MM.VID_SAMPLE_K},
+    )
+    return frames.map_batches(
+        MM.ImageStatsStage, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4), batch_size=256,
+    ).map_batches(
+        _frame_idx_to_int64, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

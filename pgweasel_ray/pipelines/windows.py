@@ -619,3 +619,58 @@ def conv_tool_transitions(sf_dir: str) -> Dataset:
     return mid.repartition(1).map_batches(
         _sum_pairs_block, batch_format="pyarrow", batch_size=None
     )
+
+
+# --- PageRank over the tool-transition graph ----------------------------------
+
+PR_SCALE = 10**12        # fixed-point total rank mass
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100   # damping factor 0.85 as a ratio
+PR_ITERS = 4
+
+
+def conv_tool_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the tool-transition graph: nodes are tools, edge
+    weights are the consecutive-turn transition counts of
+    :func:`conv_tool_transitions` — "which tools does activity flow
+    into" as a stationary-ish score rather than raw in-degree.
+
+    Scale shape: the DISTRIBUTED stage is the edge aggregation (every
+    consecutive turn pair of a 100 TB corpus feeds it, conv-exclusive
+    keyed blocks, pre-aggregated partials); the power iteration then runs
+    over the BOUNDED |tools|² edge table — microseconds next to the turn
+    scan, and deliberately driver-side because no iteration state exceeds
+    the node count. Arithmetic is fixed-point PYTHON-INT (never numpy
+    int64): rank·weight products overflow 2^63 at realistic edge counts,
+    and the oracle's chained-CTE replay casts to HUGEINT for the same
+    reason. Every operation is a floor division, so all PR_ITERS iterates
+    are bit-exact against the SQL."""
+    edges = conv_tool_transitions(sf_dir).to_pandas()
+    return pagerank_ranks(
+        list(zip(edges["from_tool"], edges["to_tool"], edges["cnt"]))
+    )
+
+
+def pagerank_ranks(edges: list[tuple[str, str, int]]) -> pd.DataFrame:
+    """The fixed-point power iteration on a BOUNDED edge list (pure —
+    conv_tool_pagerank feeds it the distributed transition counts)."""
+    nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"tool": pd.Series([], dtype=object),
+                             "rank": pd.Series([], dtype="int64")})
+    idx = {t: i for i, t in enumerate(nodes)}
+    ew = [(idx[a], idx[b], int(c)) for a, b, c in edges]
+    outdeg = [0] * n
+    for s, _, c in ew:
+        outdeg[s] += c
+    r = [PR_SCALE // n] * n
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * n)
+    for _ in range(PR_ITERS):
+        contrib = [0] * n
+        for s, d, c in ew:
+            contrib[d] += (r[s] * c) // outdeg[s]
+        dangling = sum(r[v] for v in range(n) if outdeg[v] == 0)
+        r = [base + PR_DAMP_NUM * (contrib[v] + dangling // n) // PR_DAMP_DEN
+             for v in range(n)]
+    out = pd.DataFrame({"tool": nodes, "rank": pd.array(r, dtype="int64")})
+    return out.sort_values("tool").reset_index(drop=True)

@@ -49,6 +49,20 @@ SYNTH_STEP_MOD = 7
 AUD_RATE_BASE, AUD_RATE_MOD, AUD_RATE_STEP = 8000, 3, 4000
 AUD_N_BASE, AUD_N_MOD = 64, 101
 
+# Deterministic synthetic-video law (PARITY SOURCE — the oracle SQL in
+# oracle_queries._multimodal_video_frames_sql is generated from these):
+#   n_frames = VID_N_BASE + doc_id % VID_N_MOD
+#   height   = VID_H_BASE + doc_id % VID_H_MOD
+#   width    = VID_W_BASE + doc_id % VID_W_MOD
+#   pixel[i] (flat over n_frames·h·w, row-major frame-then-pixel)
+#            = (doc_id*SYNTH_PX_A + i*(1 + doc_id % SYNTH_STEP_MOD)) % 256
+# Frames are single-channel; VideoFrameSampleStage keeps every
+# VID_SAMPLE_K-th frame.
+VID_N_BASE, VID_N_MOD = 6, 17
+VID_H_BASE, VID_H_MOD = 3, 5
+VID_W_BASE, VID_W_MOD = 3, 6
+VID_SAMPLE_K = 4
+
 
 def fake_image(height: int, width: int, channels: int = 3, seed: int = 0) -> bytes:
     rng = np.random.default_rng(seed)
@@ -272,6 +286,33 @@ def synth_audio(batch: pa.Table) -> pa.Table:
     return pa.table(
         {"doc_id": batch["doc_id"],
          "audio": pa.array(payloads, type=pa.binary())}
+    )
+
+
+def synth_videos(batch: pa.Table) -> pa.Table:
+    """doc_id → deterministic FAKEVID payload per the VID_* law. Pixel
+    generation is one flat numpy pass for the whole batch (the per-row
+    Python is only header packing + buffer slicing)."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nf = VID_N_BASE + ids % VID_N_MOD
+    h = VID_H_BASE + ids % VID_H_MOD
+    w = VID_W_BASE + ids % VID_W_MOD
+    base = (ids * SYNTH_PX_A) % 256
+    step = 1 + ids % SYNTH_STEP_MOD
+    n = nf * h * w
+    starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+    i = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(starts, n)
+    px = ((np.repeat(base, n) + i * np.repeat(step, n)) % 256).astype(
+        np.uint8
+    )
+    payloads = [
+        VID_MAGIC + struct.pack("<IHH", nf[j], h[j], w[j])
+        + px[starts[j]:starts[j] + n[j]].tobytes()
+        for j in range(len(ids))
+    ]
+    return pa.table(
+        {"doc_id": batch["doc_id"],
+         "video": pa.array(payloads, type=pa.binary())}
     )
 
 

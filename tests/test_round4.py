@@ -36,6 +36,8 @@ MUST_VERIFY = {
     "multimodal_audio_stats", "events_value_hist_quantiles",
     "docs_weighted_sample", "docs_inverted_postings",
     "docs_decontaminate_bloom", "docs_source_distinct_hll",
+    "multimodal_video_frames", "docs_bigram_surprisal",
+    "severity_tool_rollup", "conv_tool_pagerank",
 }
 
 
@@ -468,3 +470,101 @@ def test_hll_source_partials_match_per_source_reference():
         got = {int(r["bucket"]): int(r["rho"])
                for _, r in out[out["source"] == src].iterrows()}
         assert got == want
+
+
+# --- multimodal video law -------------------------------------------------------
+
+def test_video_law_frame_stats_match_naive():
+    from pgweasel_ray.stages import multimodal as MM
+
+    ids = [0, 1, 5, 16, 123]
+    batch = pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+    vids = MM.synth_videos(batch)
+    frames = MM.VideoFrameSampleStage(every_k=MM.VID_SAMPLE_K)(vids)
+    stats = MM.ImageStatsStage()(frames)
+    expected = {}
+    for d in ids:
+        nf = MM.VID_N_BASE + d % MM.VID_N_MOD
+        h = MM.VID_H_BASE + d % MM.VID_H_MOD
+        w = MM.VID_W_BASE + d % MM.VID_W_MOD
+        base = (d * MM.SYNTH_PX_A) % 256
+        step = 1 + d % MM.SYNTH_STEP_MOD
+        for f in range(0, nf, MM.VID_SAMPLE_K):
+            s = sum((base + (f * h * w + j) * step) % 256
+                    for j in range(h * w))
+            expected[(d, f)] = (h, w, 1, h * w, s)
+    got = stats.to_pylist()
+    assert len(got) == len(expected)
+    for r in got:
+        exp = expected[(r["doc_id"], r["frame_idx"])]
+        assert (r["height"], r["width"], r["channels"], r["n_px"],
+                r["px_sum"]) == exp
+
+
+# --- bigram surprisal kernels ---------------------------------------------------
+
+def test_adjacent_pairs_cross_doc_and_whitespace():
+    batch = pa.table({"text": pa.array(["  a  b c ", "x", "", "p q"])})
+    a, b, di = dataprep._adjacent_pairs(batch)
+    assert list(a) == ["a", "b", "p"]
+    assert list(b) == ["b", "c", "q"]
+    assert list(di) == [0, 0, 3]
+
+
+def test_bigram_score_rules(ray_session):
+    import ray
+
+    vw = np.array(["a", "b"], dtype=object)
+    vc = np.array([8, 4], dtype=np.int64)
+    # bigram table: ("a","b") -> key 0*2+1 = 1, count 2
+    ref = ray.put((vw, vc, 16, np.array([1], dtype=np.int64),
+                   np.array([2], dtype=np.int64)))
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["a b", "a a", "z a"]),
+    })
+    by = {r["doc_id"]: r
+          for r in dataprep._bigram_score_batch(batch, ref).to_pylist()}
+    # in-LM pair: floor(log2(c(a) // c(a,b))) = floor(log2(8 // 2)) = 2
+    assert (by[1]["n_pairs"], by[1]["n_backoff"], by[1]["sum_bits"]) == (1, 0, 2)
+    # bigram backoff, left word in vocab: floor(log2(8)) = 3
+    assert (by[2]["n_pairs"], by[2]["n_backoff"], by[2]["sum_bits"]) == (1, 1, 3)
+    # left word OOV: floor(log2(total)) = floor(log2(16)) = 4
+    assert (by[3]["n_pairs"], by[3]["n_backoff"], by[3]["sum_bits"]) == (1, 1, 4)
+
+
+def test_bigram_partials_in_vocab_only(ray_session):
+    import ray
+
+    vref = ray.put(np.array(["a", "b"], dtype=object))
+    batch = pa.table({"text": pa.array(["a b z a", "b a"])})
+    t = dataprep._bigram_partials(batch, vref)
+    got = dict(zip(t["key"].to_pylist(), t["cnt"].to_pylist()))
+    # pairs (b,z) and (z,a) are dropped pre-shuffle; (a,b)->1, (b,a)->2
+    assert got == {1: 1, 2: 1}
+
+
+# --- fixed-point PageRank -------------------------------------------------------
+
+def test_pagerank_one_iteration_hand_numbers(monkeypatch):
+    from pgweasel_ray.pipelines import windows as W
+
+    monkeypatch.setattr(W, "PR_ITERS", 1)
+    s = W.PR_SCALE
+    out = W.pagerank_ranks([("A", "B", 2)])
+    by = dict(zip(out["tool"], out["rank"]))
+    base = 15 * s // 200
+    # A gets no contributions; B's only edge carries all of A's rank;
+    # B itself is dangling, so its mass spreads uniformly (half to each)
+    assert by["A"] == base + 85 * ((s // 2) // 2) // 100
+    assert by["B"] == base + 85 * ((s // 2) + (s // 2) // 2) // 100
+
+
+def test_pagerank_symmetric_cycle_is_uniform():
+    from pgweasel_ray.pipelines import windows as W
+
+    out = W.pagerank_ranks([("A", "B", 3), ("B", "A", 3)])
+    by = dict(zip(out["tool"], out["rank"]))
+    assert by["A"] == by["B"]
+    # no dangling loss beyond floor rounding: mass stays ~PR_SCALE
+    assert abs(by["A"] + by["B"] - W.PR_SCALE) < 100 * W.PR_ITERS
