@@ -760,6 +760,61 @@ FROM p CROSS JOIN LATERAL (
 GROUP BY p.doc_id, p.sample_rate, p.n_samples"""
 
 
+def _kmv_distinct_sql() -> str:
+    """KMV sketch replayed literally: same poly-hash, DISTINCT (source, h),
+    bottom-k via row_number(), same integer estimate (k−1)·P // h_(k) with
+    the exact-count-below-k rule."""
+    k, p = dataprep.KMV_K, H.P
+    return rf"""WITH wd AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS word
+  FROM documents
+), w AS (
+  SELECT DISTINCT source, {H.sql_poly_hash('word')} AS h FROM wd
+), r AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+  FROM w
+), b AS (
+  SELECT source, h FROM r WHERE rk <= {k}
+)
+SELECT source, count(*)::BIGINT AS n_bottom, max(h)::BIGINT AS kth_h,
+       (CASE WHEN count(*) < {k} THEN count(*)
+             ELSE ({k} - 1) * {p} // max(h) END)::BIGINT AS est_distinct
+FROM b GROUP BY source"""
+
+
+def _value_linfit_sql() -> str:
+    """OLS sufficient statistics + slope/intercept replayed literally:
+    same integer x/y quantization, HUGEINT numerator/denominator (the
+    pipeline folds Python ints for the same overflow-safety), then the
+    identical float expression tree — bit-stable."""
+    from .pipelines import events as E
+
+    e0, xb, ys = E.LINFIT_EPOCH0, E.LINFIT_X_BUCKET_S, E.LINFIT_Y_SCALE
+    return f"""WITH s AS (
+  SELECT event_type,
+         (epoch_us(ts) // 1000000 - {e0}) // {xb} AS x,
+         floor(value * {ys})::BIGINT AS y
+  FROM events
+), a AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+         sum(x * y)::BIGINT AS sum_xy, sum(x * x)::BIGINT AS sum_x2
+  FROM s GROUP BY event_type
+), f AS (
+  SELECT *, (n::HUGEINT * sum_xy - sum_x::HUGEINT * sum_y) AS num,
+         (n::HUGEINT * sum_x2 - sum_x::HUGEINT * sum_x) AS den
+  FROM a
+)
+SELECT event_type, n, sum_x, sum_y, sum_xy, sum_x2,
+       CASE WHEN den = 0 THEN NULL
+            ELSE num::DOUBLE / den::DOUBLE END AS slope,
+       CASE WHEN den = 0 THEN NULL
+            ELSE (sum_y::DOUBLE - (num::DOUBLE / den::DOUBLE)
+                  * sum_x::DOUBLE) / n::DOUBLE END AS intercept
+FROM f ORDER BY event_type"""
+
+
 def _multimodal_video_frames_sql() -> str:
     """The deterministic video law (stages/multimodal.py VID_* — the parity
     source) replayed in SQL: sampled frame indices via range(0, n, k), per
@@ -1348,6 +1403,8 @@ SELECT coalesce(severity, '{core.ROLLUP_ALL}') AS severity,
        coalesce(tool, '{core.ROLLUP_ALL}') AS tool, count(*) AS cnt
 FROM parsed GROUP BY ROLLUP(severity, tool)""",
         "conv_tool_pagerank": _tool_pagerank_sql(glob),
+        "docs_kmv_distinct": _kmv_distinct_sql(),
+        "events_value_linfit": _value_linfit_sql(),
         "docs_line_dedup": _line_dedup_sql(),
         "docs_minhash_sim_topk": _minhash_sim_topk_sql(),
         "docs_contamination_overlap": _contamination_overlap_sql(),

@@ -3275,6 +3275,90 @@ def docs_source_distinct_hll(sf_dir: str) -> Dataset:
     ).sort(["source", "bucket"])
 
 
+# --- KMV (bottom-k) distinct sketch per source ---------------------------------
+
+KMV_K = 256   # bottom-k size: ±1/√(k−2) ≈ 6.3% relative error
+
+
+def _kmv_bottom(src: np.ndarray, h: np.ndarray):
+    """(sources, codes-sorted keys → per-source bottom-KMV_K distinct
+    hashes): the shared dedupe + order-statistics kernel of both KMV
+    stages. Returns (srcs, sc, hv, cnts) with rows sorted by (source,
+    hash) and truncated to the bottom k per source."""
+    srcs, code = np.unique(src, return_inverse=True)
+    key = np.unique(code.astype(np.int64) * H.P + h)  # distinct, sorted
+    sc, hv = key // H.P, key % H.P
+    cnts = np.bincount(sc, minlength=len(srcs))
+    starts = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    rank = np.arange(len(key), dtype=np.int64) - np.repeat(starts, cnts)
+    keep = rank < KMV_K
+    sc, hv = sc[keep], hv[keep]
+    return srcs, sc, hv, np.bincount(sc, minlength=len(srcs))
+
+
+def _kmv_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch per-source bottom-KMV_K DISTINCT word hashes — at most
+    sources_in_batch × k rows leave any block regardless of batch size
+    (the order-statistics analogue of the HLL register partial)."""
+    words = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"\s+")
+    n = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+    src = np.repeat(
+        np.asarray(batch["source"].to_pandas(), dtype=object), n)
+    nz = flat != ""
+    flat, src = flat[nz], src[nz]
+    empty = pa.table({"source": pa.array([], type=pa.string()),
+                      "h": pa.array([], type=pa.int64())})
+    if not len(flat):
+        return empty
+    srcs, sc, hv, _ = _kmv_bottom(src, H.word_hash_array(list(flat)))
+    return pa.table({"source": pa.array(srcs[sc], type=pa.string()),
+                     "h": pa.array(hv, type=pa.int64())})
+
+
+def _kmv_finalize_block(t: pa.Table) -> pa.Table:
+    """Merge the bottom-k partials of one source-exclusive partition and
+    emit the sketch summary: kth smallest distinct hash + the standard KMV
+    estimate (k−1)·P // h_(k), exact count below k. All-integer."""
+    empty = pa.table({"source": pa.array([], type=pa.string()),
+                      "n_bottom": pa.array([], type=pa.int64()),
+                      "kth_h": pa.array([], type=pa.int64()),
+                      "est_distinct": pa.array([], type=pa.int64())})
+    if not t.num_rows:
+        return empty
+    src = np.asarray(t["source"].to_pandas(), dtype=object)
+    srcs, sc, hv, cnts = _kmv_bottom(
+        src, t["h"].to_numpy(zero_copy_only=False)
+    )
+    ends = np.cumsum(cnts)
+    kth = hv[ends - 1]
+    est = np.where(
+        cnts < KMV_K, cnts, (KMV_K - 1) * H.P // np.maximum(kth, 1)
+    ).astype(np.int64)
+    return pa.table({
+        "source": pa.array(srcs, type=pa.string()),
+        "n_bottom": pa.array(cnts.astype(np.int64)),
+        "kth_h": pa.array(kth, type=pa.int64()),
+        "est_distinct": pa.array(est, type=pa.int64()),
+    })
+
+
+def docs_kmv_distinct(sf_dir: str) -> Dataset:
+    """PER-SOURCE KMV (bottom-k / k-minimum-values) distinct-word sketch —
+    the ORDER-STATISTICS sketch family next to the HLL register family
+    (:func:`docs_source_distinct_hll`): each block emits its bottom-k
+    distinct word hashes per source (≤ sources × k rows regardless of
+    block size), one keyed merge folds partials, and the estimate
+    (k−1)·P // h_(k) derives from the k-th smallest hash. Bottom-k sets
+    are union-mergeable, so the shuffle is bounded by groups × k at ANY
+    corpus size; everything is integer-exact (the oracle replays the same
+    rule over row_number())."""
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        _kmv_partials, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    return _keyed_blocks(partials, ["source"], _kmv_finalize_block)
+
+
 def hll_estimate(registers: pd.DataFrame) -> float:
     """Standard HLL estimator (Flajolet et al. 2007) from the (bucket, rho)
     register table, with the small-range linear-counting correction."""

@@ -418,3 +418,78 @@ def events_anomaly(sf_dir: str) -> Dataset:
     return counts.repartition(1).map_batches(
         _anomaly_block, batch_format="pyarrow", batch_size=None
     )
+
+
+# --- per-group OLS linear fit from integer sufficient statistics ----------------
+
+LINFIT_EPOCH0 = 1_704_067_200     # 2024-01-01 UTC (seconds) — fixture epoch
+LINFIT_X_BUCKET_S = 60            # x = minutes since LINFIT_EPOCH0
+LINFIT_Y_SCALE = 100              # y = floor(value · 100), centi-units
+
+
+def _linfit_partials(batch: pa.Table) -> pa.Table:
+    """Per-block INTEGER sufficient statistics (n, Σx, Σy, Σxy, Σx²) per
+    event_type — the mergeable state of a distributed least-squares fit
+    (the same partial/combine shape as grouped_count; nothing but five
+    int64 sums per group ever shuffles). x is quantized to minutes since a
+    fixed epoch and y to centi-units so every sum is integer-exact and
+    order-independent; the quantization constants set the int64 headroom
+    (~4e9 rows per group at these magnitudes — widen LINFIT_X_BUCKET_S for
+    bigger corpora)."""
+    import numpy as np
+
+    ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+    x = (ts // 1_000_000 - LINFIT_EPOCH0) // LINFIT_X_BUCKET_S
+    y = np.floor(
+        batch["value"].to_numpy(zero_copy_only=False) * LINFIT_Y_SCALE
+    ).astype(np.int64)
+    et = np.asarray(batch["event_type"].to_pandas(), dtype=object)
+    types, code = np.unique(et, return_inverse=True)
+    k = len(types)
+    out = {}
+    for name, w in (("n", None), ("sum_x", x), ("sum_y", y),
+                    ("sum_xy", x * y), ("sum_x2", x * x)):
+        acc = np.zeros(k, dtype=np.int64)
+        if w is None:
+            np.add.at(acc, code, 1)
+        else:
+            np.add.at(acc, code, w)
+        out[name] = acc
+    return pa.table(
+        {"event_type": pa.array(types, type=pa.string()),
+         **{n: pa.array(v, type=pa.int64()) for n, v in out.items()}}
+    )
+
+
+def events_value_linfit(sf_dir: str):
+    """Per-event_type ordinary-least-squares fit of value against time —
+    the distributed-regression pattern: every block contributes five
+    integer sufficient statistics per group, one bounded groupby-sum
+    merges them, and slope/intercept derive from the merged integers on
+    the driver (exact Python-int numerator/denominator, then ONE float
+    division each — bit-stable against the oracle's HUGEINT replay)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    partials = _events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+        _linfit_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = partials.groupby("event_type").aggregate(
+        *[Sum(c, alias_name=c)
+          for c in ("n", "sum_x", "sum_y", "sum_xy", "sum_x2")]
+    ).to_pandas()
+    slopes, intercepts = [], []
+    for r in agg.itertuples(index=False):
+        n, sx, sy, sxy, sx2 = (int(r.n), int(r.sum_x), int(r.sum_y),
+                               int(r.sum_xy), int(r.sum_x2))
+        num, den = n * sxy - sx * sy, n * sx2 - sx * sx
+        if den == 0:
+            slopes.append(None)
+            intercepts.append(None)
+            continue
+        slope = float(num) / float(den)
+        slopes.append(slope)
+        intercepts.append((float(sy) - slope * float(sx)) / float(n))
+    agg["slope"] = pd.array(slopes, dtype="float64")
+    agg["intercept"] = pd.array(intercepts, dtype="float64")
+    return agg.sort_values("event_type").reset_index(drop=True)

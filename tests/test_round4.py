@@ -38,6 +38,7 @@ MUST_VERIFY = {
     "docs_decontaminate_bloom", "docs_source_distinct_hll",
     "multimodal_video_frames", "docs_bigram_surprisal",
     "severity_tool_rollup", "conv_tool_pagerank",
+    "docs_kmv_distinct", "events_value_linfit",
 }
 
 
@@ -568,3 +569,104 @@ def test_pagerank_symmetric_cycle_is_uniform():
     assert by["A"] == by["B"]
     # no dangling loss beyond floor rounding: mass stays ~PR_SCALE
     assert abs(by["A"] + by["B"] - W.PR_SCALE) < 100 * W.PR_ITERS
+
+
+# --- KMV bottom-k sketch --------------------------------------------------------
+
+def test_kmv_bottom_truncates_and_dedupes(monkeypatch):
+    monkeypatch.setattr(dataprep, "KMV_K", 3)
+    src = np.array(["a", "a", "a", "a", "b"], dtype=object)
+    h = np.array([40, 10, 10, 30, 7], dtype=np.int64)  # dup 10 collapses
+    srcs, sc, hv, cnts = dataprep._kmv_bottom(src, h)
+    assert list(srcs) == ["a", "b"]
+    assert hv[sc == 0].tolist() == [10, 30, 40]   # bottom-3 distinct
+    assert hv[sc == 1].tolist() == [7]
+    assert cnts.tolist() == [3, 1]
+
+
+def test_kmv_finalize_estimate_rules(monkeypatch):
+    from pgweasel_ray import hashing as H
+
+    monkeypatch.setattr(dataprep, "KMV_K", 4)
+    t = pa.table({
+        "source": pa.array(["s"] * 6 + ["tiny"], type=pa.string()),
+        "h": pa.array([50, 10, 20, 30, 40, 60, 9], type=pa.int64()),
+    })
+    out = {r["source"]: r
+           for r in dataprep._kmv_finalize_block(t).to_pylist()}
+    # full sketch: kth = 4th smallest distinct = 40; est = 3·P // 40
+    assert out["s"]["n_bottom"] == 4 and out["s"]["kth_h"] == 40
+    assert out["s"]["est_distinct"] == 3 * H.P // 40
+    # below k: exact count
+    assert out["tiny"]["n_bottom"] == 1
+    assert out["tiny"]["est_distinct"] == 1
+
+
+def test_kmv_merge_equals_single_pass(monkeypatch):
+    """Union-mergeability: finalizing the concatenation of two per-block
+    bottom-k partials equals finalizing all raw rows at once."""
+    monkeypatch.setattr(dataprep, "KMV_K", 4)
+    rng = np.random.default_rng(3)
+    h = rng.integers(1, 10_000, 60).astype(np.int64)
+    src = np.array(["x"] * 30 + ["y"] * 30, dtype=object)
+
+    def partial(lo, hi):
+        srcs, sc, hv, _ = dataprep._kmv_bottom(src[lo:hi], h[lo:hi])
+        return pa.table({"source": pa.array(srcs[sc], type=pa.string()),
+                         "h": pa.array(hv, type=pa.int64())})
+
+    merged = dataprep._kmv_finalize_block(
+        pa.concat_tables([partial(0, 25), partial(25, 60)]))
+    direct = dataprep._kmv_finalize_block(
+        pa.table({"source": pa.array(src, type=pa.string()),
+                  "h": pa.array(h, type=pa.int64())}))
+    assert merged.to_pylist() == direct.to_pylist()
+
+
+# --- OLS sufficient statistics --------------------------------------------------
+
+def test_linfit_partials_integer_sums():
+    from pgweasel_ray.pipelines import events as E
+
+    base_us = E.LINFIT_EPOCH0 * 1_000_000
+    minutes = [0, 1, 2, 5]
+    t = pa.table({
+        "ts": pa.array([base_us + m * 60_000_000 for m in minutes],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(["a", "a", "b", "a"], type=pa.string()),
+        "value": pa.array([1.23, 4.56, 7.89, 0.004], type=pa.float64()),
+    })
+    out = {r["event_type"]: r
+           for r in E._linfit_partials(t).to_pylist()}
+    # y = floor(value·100) in IEEE doubles (4.56·100 = 455.999…94 → 455,
+    # exactly what DuckDB's floor(value * 100) produces)
+    import math
+
+    y = [math.floor(v * 100) for v in (1.23, 4.56, 7.89, 0.004)]
+    assert y == [123, 455, 789, 0]
+    assert out["a"]["n"] == 3 and out["b"]["n"] == 1
+    assert out["a"]["sum_x"] == 0 + 1 + 5
+    assert out["a"]["sum_y"] == y[0] + y[1] + y[3]
+    assert out["a"]["sum_xy"] == 0 * y[0] + 1 * y[1] + 5 * y[3]
+    assert out["a"]["sum_x2"] == 0 + 1 + 25
+    assert out["b"]["sum_xy"] == 2 * y[2] and out["b"]["sum_x2"] == 4
+
+
+def test_linfit_perfect_line_recovers_exact_slope(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pgweasel_ray.pipelines import events as E
+
+    base_us = E.LINFIT_EPOCH0 * 1_000_000
+    xs = list(range(10))
+    t = pa.table({
+        "ts": pa.array([base_us + x * 60_000_000 for x in xs],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(["t"] * 10, type=pa.string()),
+        # value integers ⇒ y = 100·value exactly; y = 200x + 300
+        "value": pa.array([2.0 * x + 3.0 for x in xs], type=pa.float64()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = E.events_value_linfit(str(tmp_path))
+    assert out.loc[0, "slope"] == 200.0
+    assert out.loc[0, "intercept"] == 300.0
