@@ -815,6 +815,38 @@ SELECT event_type, n, sum_x, sum_y, sum_xy, sum_x2,
 FROM f ORDER BY event_type"""
 
 
+def _late_arrivals_sql() -> str:
+    """Watermark semantics replayed with a window function: the same
+    affine-hash straggler-delay arrival model, prev_max = max(event time)
+    over arrival order excluding the current row; late ⇔ window_end ≤
+    prev_max − allowed_lateness."""
+    from .pipelines import events as E
+
+    w = E.LATE_WINDOW_S * 1_000_000
+    a = E.LATE_ALLOWED_S * 1_000_000
+    d = E.LATE_STRAGGLER_DELAY_S * 1_000_000
+    return f"""WITH k AS (
+  SELECT ts, event_id,
+         epoch_us(ts) + CASE WHEN ((event_id % {H.P}) * {H.SHUF_A}
+                                   + {H.SHUF_B}) % {H.P}
+                                  % {E.LATE_STRAGGLER_MOD} = 0
+                             THEN {d} ELSE 0 END AS arrival_key
+  FROM events
+), m AS (
+  SELECT ts, max(epoch_us(ts)) OVER (ORDER BY arrival_key, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM k
+), c AS (
+  SELECT {oracle.bucket_expr(E.LATE_WINDOW_S)} AS bucket_ts,
+         CASE WHEN prev_max IS NOT NULL
+               AND (epoch_us(ts) // {w}) * {w} + {w} <= prev_max - {a}
+              THEN 1 ELSE 0 END AS late
+  FROM m
+)
+SELECT bucket_ts, sum(1 - late)::BIGINT AS on_time, sum(late)::BIGINT AS late
+FROM c GROUP BY bucket_ts ORDER BY bucket_ts"""
+
+
 def _multimodal_video_frames_sql() -> str:
     """The deterministic video law (stages/multimodal.py VID_* — the parity
     source) replayed in SQL: sampled frame indices via range(0, n, k), per
@@ -1405,6 +1437,7 @@ FROM parsed GROUP BY ROLLUP(severity, tool)""",
         "conv_tool_pagerank": _tool_pagerank_sql(glob),
         "docs_kmv_distinct": _kmv_distinct_sql(),
         "events_value_linfit": _value_linfit_sql(),
+        "events_late_arrivals": _late_arrivals_sql(),
         "docs_line_dedup": _line_dedup_sql(),
         "docs_minhash_sim_topk": _minhash_sim_topk_sql(),
         "docs_contamination_overlap": _contamination_overlap_sql(),

@@ -493,3 +493,107 @@ def events_value_linfit(sf_dir: str):
     agg["slope"] = pd.array(slopes, dtype="float64")
     agg["intercept"] = pd.array(intercepts, dtype="float64")
     return agg.sort_values("event_type").reset_index(drop=True)
+
+
+# --- streaming watermark: tumbling windows with late-arrival classification ----
+
+LATE_WINDOW_S = 3600         # tumbling event-time window width
+LATE_ALLOWED_S = 1800        # allowed lateness behind the high-watermark
+LATE_STRAGGLER_DELAY_S = 3 * 3600   # stragglers arrive 3 h of event time late
+LATE_STRAGGLER_MOD = 17             # ~1/17 of events are stragglers
+_TS_SENTINEL = -(1 << 62)    # "no prior event" watermark
+
+
+def _arrival_key(batch: pa.Table) -> pa.Table:
+    """Deterministic ARRIVAL-TIME model: the fixture's event_id order is
+    perfectly time-ordered (no event would ever be late), so ingest skew
+    is simulated by delaying a hash-selected ~1/LATE_STRAGGLER_MOD subset
+    by LATE_STRAGGLER_DELAY_S of event time — late by a fixed DURATION,
+    so the late fraction is scale-invariant (position-based delays would
+    shrink with event density). Affine-hash selection has an exact SQL
+    twin."""
+    import numpy as np
+
+    from .. import hashing as H
+
+    ids = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+    strag = ((ids % H.P) * H.SHUF_A + H.SHUF_B) % H.P % LATE_STRAGGLER_MOD == 0
+    key = ts + strag * (LATE_STRAGGLER_DELAY_S * 1_000_000)
+    return batch.append_column(
+        "arrival_key", pa.array(key.astype(np.int64), type=pa.int64())
+    )
+
+
+def _block_ts_max(t: pa.Table) -> int:
+    if not t.num_rows:
+        return _TS_SENTINEL
+    return int(pc.max(pc.cast(t["ts"], pa.int64())).as_py())
+
+
+def _late_partial_counts(t: pa.Table, wm0: int) -> pa.Table:
+    """Per-block on-time/late partial counts given the exclusive running
+    max event-time of all PRIOR blocks (arrival order): the in-block
+    prefix max composes with wm0, so the per-row watermark is exact.
+    Flink-style rule: an event is LATE iff its window already closed
+    under the watermark at its arrival, i.e. window_end ≤ prev_max −
+    allowed_lateness."""
+    import numpy as np
+
+    w_us = LATE_WINDOW_S * 1_000_000
+    a_us = LATE_ALLOWED_S * 1_000_000
+    empty = pa.table({"bucket_ts": pa.array([], type=pa.timestamp("us")),
+                      "on_time": pa.array([], type=pa.int64()),
+                      "late": pa.array([], type=pa.int64())})
+    if not t.num_rows:
+        return empty
+    ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+    prev_max = np.concatenate(
+        [[wm0], np.maximum(np.maximum.accumulate(ts)[:-1], wm0)]
+    )
+    bucket = (ts // w_us) * w_us
+    late = (prev_max > _TS_SENTINEL) & (bucket + w_us <= prev_max - a_us)
+    ub, code = np.unique(bucket, return_inverse=True)
+    late_c = np.zeros(len(ub), dtype=np.int64)
+    np.add.at(late_c, code, late)
+    tot = np.bincount(code, minlength=len(ub)).astype(np.int64)
+    return pa.table({
+        "bucket_ts": pa.array(ub, type=pa.timestamp("us")),
+        "on_time": pa.array(tot - late_c, type=pa.int64()),
+        "late": pa.array(late_c, type=pa.int64()),
+    })
+
+
+def events_late_arrivals(sf_dir: str) -> Dataset:
+    """Tumbling-window counts with WATERMARK-based late-arrival
+    classification — the streaming-window semantics Ray Data's batch API
+    lacks, composed from batch primitives: arrival order is the
+    deterministic straggler-delayed ingest model (:func:`_arrival_key`),
+    the high-watermark is a distributed PREFIX MAX over that order (same
+    two-phase shape as the pack/shuffle prefix sums — one int per block
+    to the driver, max-combined instead of summed), and each block
+    classifies its rows exactly with (block-prefix ∘ in-block running
+    max). Output per window: on-time vs late counts (late ⇔ window_end ≤
+    watermark − allowed_lateness at arrival). Blocks never leave the
+    object store; the only driver state is one int64 per block."""
+    import numpy as np
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ordered = _events(sf_dir, ["event_id", "ts"]).map_batches(
+        _arrival_key, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["arrival_key", "event_id"])
+    refs = ordered.to_arrow_refs()
+    part = ray.remote(num_cpus=0.5)(_block_ts_max)
+    maxes = ray.get([part.remote(r) for r in refs])
+    prefix = np.concatenate(
+        [[_TS_SENTINEL], np.maximum.accumulate(np.asarray(maxes))]
+    )[:-1]
+    app = ray.remote(num_cpus=0.5)(_late_partial_counts)
+    partials = ray.data.from_arrow_refs(
+        [app.remote(r, int(p)) for r, p in zip(refs, prefix)]
+    )
+    return partials.groupby("bucket_ts").aggregate(
+        Sum("on_time", alias_name="on_time"), Sum("late", alias_name="late")
+    ).sort("bucket_ts")

@@ -38,7 +38,7 @@ MUST_VERIFY = {
     "docs_decontaminate_bloom", "docs_source_distinct_hll",
     "multimodal_video_frames", "docs_bigram_surprisal",
     "severity_tool_rollup", "conv_tool_pagerank",
-    "docs_kmv_distinct", "events_value_linfit",
+    "docs_kmv_distinct", "events_value_linfit", "events_late_arrivals",
 }
 
 
@@ -670,3 +670,76 @@ def test_linfit_perfect_line_recovers_exact_slope(ray_session, tmp_path):
     out = E.events_value_linfit(str(tmp_path))
     assert out.loc[0, "slope"] == 200.0
     assert out.loc[0, "intercept"] == 300.0
+
+
+# --- streaming watermark / late arrivals -----------------------------------------
+
+def _late_events_table(rows):
+    """rows: (ts_us, is_late_expected ignored) — build (event_id, ts)."""
+    ts, = zip(*[(r,) for r in rows])
+    return pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array(list(ts), type=pa.timestamp("us")),
+    })
+
+
+def test_late_partial_counts_watermark_rule():
+    from pgweasel_ray.pipelines import events as E
+
+    w = E.LATE_WINDOW_S * 1_000_000
+    a = E.LATE_ALLOWED_S * 1_000_000
+    # arrival order as given: on-time, on-time (advances watermark far),
+    # then a straggler whose window closed beyond allowed lateness
+    t = _late_events_table([0, 10 * w, w // 2])
+    out = E._late_partial_counts(t, E._TS_SENTINEL)
+    got = {r["bucket_ts"].timestamp() * 1e6 // w * w: (r["on_time"], r["late"])
+           for r in out.to_pylist()}
+    # event 3 (ts = w/2, bucket [0, w)): watermark = 10w − a > w ⇒ LATE;
+    # event 1 shares that bucket and is on-time
+    assert got[0.0] == (1, 1)
+    assert got[float(10 * w)] == (1, 0)
+
+
+def test_late_two_block_prefix_equals_single_block():
+    from pgweasel_ray.pipelines import events as E
+
+    w = E.LATE_WINDOW_S * 1_000_000
+    ts = [0, 7 * w, w // 4, 8 * w, w // 3, 2 * w]
+    full = E._late_partial_counts(_late_events_table(ts), E._TS_SENTINEL)
+
+    t1 = _late_events_table(ts[:3])
+    t2 = _late_events_table(ts[3:])
+    wm1 = E._block_ts_max(t1)
+    p1 = E._late_partial_counts(t1, E._TS_SENTINEL)
+    p2 = E._late_partial_counts(t2, wm1)
+    merged = {}
+    for part in (p1, p2):
+        for r in part.to_pylist():
+            k = r["bucket_ts"]
+            o, l = merged.get(k, (0, 0))
+            merged[k] = (o + r["on_time"], l + r["late"])
+    single = {r["bucket_ts"]: (r["on_time"], r["late"])
+              for r in full.to_pylist()}
+    assert merged == single
+
+
+def test_arrival_key_delays_only_stragglers():
+    from pgweasel_ray import hashing as H
+    from pgweasel_ray.pipelines import events as E
+
+    ids = list(range(200))
+    t = pa.table({
+        "event_id": pa.array(ids, type=pa.int64()),
+        "ts": pa.array([i * 1_000_000 for i in ids],
+                       type=pa.timestamp("us")),
+    })
+    out = E._arrival_key(t)
+    keys = out["arrival_key"].to_pylist()
+    d = E.LATE_STRAGGLER_DELAY_S * 1_000_000
+    n_strag = 0
+    for i in ids:
+        strag = ((i % H.P) * H.SHUF_A + H.SHUF_B) % H.P \
+            % E.LATE_STRAGGLER_MOD == 0
+        assert keys[i] == i * 1_000_000 + (d if strag else 0)
+        n_strag += strag
+    assert 0 < n_strag < len(ids)  # the rule selects a strict subset
