@@ -167,6 +167,11 @@ def run_bench() -> dict:
         timed_e2e("events_retention", events.events_retention, SF_DIR)
         timed_e2e("conv_tool_transitions",
                   windows.conv_tool_transitions, SF_DIR)
+        timed_e2e("conv_tool_pagerank", windows.conv_tool_pagerank, SF_DIR)
+        timed_e2e("events_late_arrivals",
+                  events.events_late_arrivals, SF_DIR)
+        timed_e2e("events_value_linfit",
+                  events.events_value_linfit, SF_DIR)
 
     result = {
         "metric": "parse→route→aggregate throughput (turns/sec)",

@@ -205,6 +205,22 @@ def build_parser() -> argparse.ArgumentParser:
                             "name (incremental ingest: reruns build only "
                             "newly arrived files)")
 
+    query = sp.add_parser(
+        "query",
+        description="Run ANY named engine pipeline (dedup/ANN/text-"
+                    "analysis/sketches/events/multimodal — see --list) over "
+                    "an sf-style data directory and print the result",
+        help="Run a named engine pipeline by name",
+    )
+    query.add_argument("name", nargs="?", default=None,
+                       help="query name (see --list)")
+    query.add_argument("input", nargs="?", default=None,
+                       help="sf-style data directory")
+    query.add_argument("--list", action="store_true", dest="list_queries",
+                       help="list all query names and exit")
+    query.add_argument("--limit", type=int, default=20,
+                       help="max rows to print (0 = all)")
+
     export = sp.add_parser(
         "export",
         description="Run the corpus-prep recipe (quality filter → exact "
@@ -413,6 +429,32 @@ def main(argv: list[str] | None = None) -> int:
             for key, e in sorted(manifest.entries.items()):
                 print(f"[debug] {key}: rows={e.get('rows')} "
                       f"wall={e.get('wall_s', 0):.3f}s", file=sys.stderr)
+
+    elif args.command == "query":
+        from .registry import queries as registry_queries
+
+        reg = registry_queries()
+        if args.list_queries or args.name is None:
+            for name in reg:
+                print(name)
+        elif args.name not in reg:
+            print(f"unknown query {args.name!r}; `query --list` shows all "
+                  f"{len(reg)} names", file=sys.stderr)
+            return 2
+        elif args.input is None:
+            print("query needs an input data directory", file=sys.stderr)
+            return 2
+        else:
+            import pandas as pd
+
+            result = reg[args.name](args.input)
+            df = result if isinstance(result, pd.DataFrame) \
+                else result.to_pandas()
+            with pd.option_context("display.max_columns", None,
+                                   "display.width", 200):
+                print(df.head(args.limit) if args.limit else df)
+            if args.limit and len(df) > args.limit:
+                print(f"... {len(df) - args.limit} more rows")
 
     elif args.command == "export":
         from .pipelines import export as export_mod

@@ -90,3 +90,25 @@ def test_cli_export_training_shards(sf_dir, capsys, tmp_path):
 
     files = sorted((tmp_path / "exp").glob("shard=*/shard.parquet"))
     assert files and sum(pq.read_metadata(f).num_rows for f in files) > 0
+
+
+def test_cli_query_list(capsys):
+    rc = main(["query", "--list"])
+    assert rc == 0
+    names = capsys.readouterr().out.split()
+    from pgweasel_ray.registry import queries
+
+    assert names == list(queries())
+
+
+def test_cli_query_runs_named_pipeline(sf_dir, capsys):
+    rc = main(["query", "severity_tool_rollup", sf_dir])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ALL" in out and "cnt" in out
+
+
+def test_cli_query_unknown_name(capsys):
+    rc = main(["query", "definitely_not_a_query", "/tmp"])
+    assert rc == 2
+    assert "query --list" in capsys.readouterr().err
