@@ -815,6 +815,25 @@ SELECT event_type, n, sum_x, sum_y, sum_xy, sum_x2,
 FROM f ORDER BY event_type"""
 
 
+def _char_entropy_sql() -> str:
+    """Character entropy replayed literally: per-(doc, codepoint) counts via
+    1-based char indexing + unicode(), same integer floor-log2 bits."""
+    return """WITH c AS (
+  SELECT doc_id, unicode(text[g.i]) AS cp, length(text) AS n
+  FROM documents CROSS JOIN LATERAL (
+    SELECT unnest(range(1, length(text) + 1)) AS i
+  ) g
+), cnt AS (
+  SELECT doc_id, any_value(n) AS n, cp, count(*)::BIGINT AS c
+  FROM c GROUP BY doc_id, cp
+)
+SELECT doc_id, any_value(n)::BIGINT AS n_chars,
+       count(*)::BIGINT AS distinct_chars,
+       sum(c * (length(bin(n // c)) - 1))::BIGINT AS sum_bits,
+       sum(c * (length(bin(n // c)) - 1))::DOUBLE / any_value(n) AS avg_bits
+FROM cnt GROUP BY doc_id"""
+
+
 def _late_arrivals_sql() -> str:
     """Watermark semantics replayed with a window function: the same
     affine-hash straggler-delay arrival model, prev_max = max(event time)
@@ -1438,6 +1457,7 @@ FROM parsed GROUP BY ROLLUP(severity, tool)""",
         "docs_kmv_distinct": _kmv_distinct_sql(),
         "events_value_linfit": _value_linfit_sql(),
         "events_late_arrivals": _late_arrivals_sql(),
+        "docs_char_entropy": _char_entropy_sql(),
         "docs_line_dedup": _line_dedup_sql(),
         "docs_minhash_sim_topk": _minhash_sim_topk_sql(),
         "docs_contamination_overlap": _contamination_overlap_sql(),

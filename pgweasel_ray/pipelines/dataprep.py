@@ -3275,6 +3275,55 @@ def docs_source_distinct_hll(sf_dir: str) -> Dataset:
     ).sort(["source", "bucket"])
 
 
+# --- character-distribution entropy (gibberish / binary-blob signal) -----------
+
+def _char_entropy_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc integer-quantized character-distribution entropy: each char
+    occurrence contributes floor(log2(n // c_char)) bits, i.e. the empirical
+    Shannon surprisal rounded down to whole bits — natural text sits in a
+    narrow band, gibberish/base64/binary blobs score high, boilerplate
+    repetition scores low. One flat utf-32 decode + one np.unique for the
+    WHOLE batch; no per-row Python. All-integer sums ⇒ order-independent ⇒
+    hash-stable vs the oracle's length(bin(q))-1 replay."""
+    texts = batch["text"].to_pylist()
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    flat = np.frombuffer(
+        "".join(texts).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(texts)), lens)
+    # per-(doc, codepoint) counts in one unique over packed keys (cp < 2^21)
+    key, cnt = np.unique((doc_idx << 21) | flat, return_counts=True)
+    kd = key >> 21
+    n_doc = lens[kd]
+    bits = cnt * _floor_log2_exact(n_doc // cnt)
+    n = batch.num_rows
+    sum_bits = np.zeros(n, dtype=np.int64)
+    np.add.at(sum_bits, kd, bits)
+    distinct = np.bincount(kd, minlength=n).astype(np.int64)
+    has = lens > 0
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].filter(pa.array(has)),
+            "n_chars": pa.array(lens[has], type=pa.int64()),
+            "distinct_chars": pa.array(distinct[has], type=pa.int64()),
+            "sum_bits": pa.array(sum_bits[has], type=pa.int64()),
+            "avg_bits": pa.array(
+                sum_bits[has] / lens[has], type=pa.float64()
+            ),
+        }
+    )
+
+
+def docs_char_entropy(sf_dir: str) -> Dataset:
+    """Character-entropy quality signal per document — the
+    detect-binary/gibberish filter of a corpus pipeline. Pure stateless
+    map (no model table, no shuffle): trivially scale-safe; the only cost
+    is the utf-32 decode, one pass per block."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _char_entropy_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # --- KMV (bottom-k) distinct sketch per source ---------------------------------
 
 KMV_K = 256   # bottom-k size: ±1/√(k−2) ≈ 6.3% relative error

@@ -39,6 +39,7 @@ MUST_VERIFY = {
     "multimodal_video_frames", "docs_bigram_surprisal",
     "severity_tool_rollup", "conv_tool_pagerank",
     "docs_kmv_distinct", "events_value_linfit", "events_late_arrivals",
+    "docs_char_entropy",
 }
 
 
@@ -743,3 +744,34 @@ def test_arrival_key_delays_only_stragglers():
         assert keys[i] == i * 1_000_000 + (d if strag else 0)
         n_strag += strag
     assert 0 < n_strag < len(ids)  # the rule selects a strict subset
+
+
+# --- character entropy ----------------------------------------------------------
+
+def test_char_entropy_hand_values():
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["aaaa", "abab", ""]),
+    })
+    out = {r["doc_id"]: r
+           for r in dataprep._char_entropy_batch(t).to_pylist()}
+    # uniform single char: every char contributes floor(log2(4//4)) = 0
+    assert out[1]["n_chars"] == 4 and out[1]["distinct_chars"] == 1
+    assert out[1]["sum_bits"] == 0
+    # two chars at 2 each: 4 · floor(log2(4//2)) = 4
+    assert out[2]["distinct_chars"] == 2 and out[2]["sum_bits"] == 4
+    assert out[2]["avg_bits"] == 1.0
+    # empty doc is dropped (no chars to score)
+    assert 3 not in out
+
+
+def test_char_entropy_astral_and_order_invariance():
+    a = "héllo🙂🙂"
+    b = "🙂lo🙂lhé"[::-1]  # same multiset of chars, any order
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": pa.array([a, b])})
+    out = dataprep._char_entropy_batch(t).to_pylist()
+    assert len(a) == len(b)
+    assert out[0]["n_chars"] == len(a) == out[1]["n_chars"]
+    assert out[0]["sum_bits"] == out[1]["sum_bits"]
+    assert out[0]["distinct_chars"] == out[1]["distinct_chars"]
