@@ -815,6 +815,77 @@ SELECT event_type, n, sum_x, sum_y, sum_xy, sum_x2,
 FROM f ORDER BY event_type"""
 
 
+def _value_corr_sql() -> str:
+    """Pearson r replayed: same integer sufficient statistics (plus Σy²),
+    HUGEINT numerator/variances, identical float expression tree (sqrt is
+    IEEE correctly-rounded in both engines)."""
+    from .pipelines import events as E
+
+    e0, xb, ys = E.LINFIT_EPOCH0, E.LINFIT_X_BUCKET_S, E.LINFIT_Y_SCALE
+    return f"""WITH s AS (
+  SELECT event_type,
+         (epoch_us(ts) // 1000000 - {e0}) // {xb} AS x,
+         floor(value * {ys})::BIGINT AS y
+  FROM events
+), a AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+         sum(x * y)::BIGINT AS sum_xy, sum(x * x)::BIGINT AS sum_x2,
+         sum(y * y)::BIGINT AS sum_y2
+  FROM s GROUP BY event_type
+), f AS (
+  SELECT *, (n::HUGEINT * sum_xy - sum_x::HUGEINT * sum_y) AS num,
+         (n::HUGEINT * sum_x2 - sum_x::HUGEINT * sum_x) AS dx,
+         (n::HUGEINT * sum_y2 - sum_y::HUGEINT * sum_y) AS dy
+  FROM a
+)
+SELECT event_type, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+       CASE WHEN dx = 0 OR dy = 0 THEN NULL
+            ELSE num::DOUBLE / (sqrt(dx::DOUBLE) * sqrt(dy::DOUBLE))
+       END AS corr
+FROM f ORDER BY event_type"""
+
+
+def _pmi_topk_sql() -> str:
+    """PMI collocations replayed literally: same top-V unigram vocab, same
+    in-vocab adjacent-pair counts and support floor, HUGEINT fixed-point
+    ratio (the pipeline uses Python ints for the same overflow safety),
+    same (pmi desc, cnt desc, a, b) order."""
+    v = dataprep.LM_VOCAB_TOP
+    s, mc, k = dataprep.PMI_SCALE, dataprep.PMI_MIN_COUNT, dataprep.PMI_TOP_K
+    return rf"""WITH tt AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+), w AS (
+  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS widx
+  FROM tt
+), cnt AS (
+  SELECT word, count(*)::BIGINT AS c FROM w GROUP BY word
+), tot AS (
+  SELECT sum(c)::BIGINT AS t FROM cnt
+), voc AS (
+  SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT {v}
+), pr0 AS (
+  SELECT doc_id, lag(word) OVER (PARTITION BY doc_id ORDER BY widx) AS a,
+         word AS b
+  FROM w
+), pr AS (
+  SELECT * FROM pr0 WHERE a IS NOT NULL
+), bgc AS (
+  SELECT pr.a, pr.b, count(*)::BIGINT AS c
+  FROM pr JOIN voc va ON pr.a = va.word JOIN voc vb ON pr.b = vb.word
+  GROUP BY pr.a, pr.b
+), f AS (
+  SELECT a, b, c FROM bgc WHERE c >= {mc}
+), p AS (
+  SELECT f.a, f.b, f.c AS cnt,
+         ({s}::HUGEINT * f.c * t.t) // (va.c::HUGEINT * vb.c) AS pmi_fp
+  FROM f CROSS JOIN tot t
+  JOIN voc va ON f.a = va.word JOIN voc vb ON f.b = vb.word
+)
+SELECT a, b, cnt, pmi_fp::BIGINT AS pmi_fp FROM p
+ORDER BY pmi_fp DESC, cnt DESC, a, b LIMIT {k}"""
+
+
 def _char_entropy_sql() -> str:
     """Character entropy replayed literally: per-(doc, codepoint) counts via
     1-based char indexing + unicode(), same integer floor-log2 bits."""
@@ -1458,6 +1529,8 @@ FROM parsed GROUP BY ROLLUP(severity, tool)""",
         "events_value_linfit": _value_linfit_sql(),
         "events_late_arrivals": _late_arrivals_sql(),
         "docs_char_entropy": _char_entropy_sql(),
+        "events_value_corr": _value_corr_sql(),
+        "docs_pmi_topk": _pmi_topk_sql(),
         "docs_line_dedup": _line_dedup_sql(),
         "docs_minhash_sim_topk": _minhash_sim_topk_sql(),
         "docs_contamination_overlap": _contamination_overlap_sql(),

@@ -1832,6 +1832,93 @@ def docs_bigram_surprisal(sf_dir: str) -> Dataset:
     )
 
 
+# --- PMI collocations (top pointwise-mutual-information bigrams) ---------------
+
+PMI_SCALE = 1 << 20        # fixed-point scale of the PMI ratio
+PMI_MIN_COUNT = 5          # collocation support floor
+PMI_TOP_K = 100
+
+
+def _pmi_min_count(batch: pa.Table) -> pa.Table:
+    return batch.filter(pc.greater_equal(batch["cnt"], PMI_MIN_COUNT))
+
+
+def _pmi_rows(batch: pa.Table, ref) -> pa.Table:
+    """(a, b, cnt) bigram rows → + pmi_fp = (PMI_SCALE·cnt·T) // (c_a·c_b).
+    EXACT Python-int per row: the rows here are the already-aggregated
+    DISTINCT frequent in-vocab bigrams (collapsed by the groupby and the
+    support floor), so the per-row loop is over a bounded-ish table, and
+    the intermediate cnt·T product — which overflows int64 at 10^12
+    tokens — stays exact; the oracle replays in HUGEINT."""
+    import ray
+
+    vw, vc, total = ray.get(ref)
+    idx = pd.Index(vw)
+    a = batch["a"].to_numpy(zero_copy_only=False)
+    b = batch["b"].to_numpy(zero_copy_only=False)
+    cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+    ia, ib = idx.get_indexer(a), idx.get_indexer(b)
+    pmi = [
+        (PMI_SCALE * int(c) * total) // (int(vc[x]) * int(vc[y]))
+        for c, x, y in zip(cnt, ia, ib)
+    ]
+    return pa.table({
+        "a": batch["a"], "b": batch["b"], "cnt": batch["cnt"],
+        "pmi_fp": pa.array(pmi, type=pa.int64()),
+    })
+
+
+def docs_pmi_topk(sf_dir: str, k: int = PMI_TOP_K) -> Dataset:
+    """Top-k COLLOCATIONS by fixed-point pointwise mutual information —
+    the classic corpus-analysis operator (which word pairs co-occur far
+    more than chance): pmi_fp = (2^20 · c(a,b) · T) // (c(a) · c(b)),
+    over adjacent in-vocab pairs with a support floor.
+
+    Scale shape: the unigram model table is bounded and broadcast; bigram
+    candidates are in-vocab-filtered and packed to int64 keys BEFORE
+    their shuffle (same pre-aggregation as docs_bigram_surprisal); the
+    support floor then collapses the tail, PMI is computed exactly on the
+    aggregated rows, and one distributed sort+limit keeps the top k."""
+    import ray
+
+    from .common import grouped_count
+
+    words = _docs(sf_dir, ["text"]).map_batches(
+        _explode_words, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = grouped_count(words, ["word"]).materialize()
+    total = int(counts.sum("cnt"))
+    voc = (
+        counts.sort(["cnt", "word"], descending=[True, False])
+        .limit(LM_VOCAB_TOP).to_pandas()
+    )
+    vw = voc["word"].to_numpy()
+    vref = ray.put(vw)
+    ref = ray.put((vw, voc["cnt"].to_numpy().astype(np.int64), total))
+    return (
+        _docs(sf_dir, ["text"]).map_batches(
+            _bigram_partials, batch_format="pyarrow", zero_copy_batch=True,
+            fn_kwargs={"vocab_ref": vref},
+        )
+        .groupby("key").aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(
+            _pmi_min_count, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .map_batches(
+            _bigram_key_words, batch_format="pyarrow", zero_copy_batch=True,
+            fn_kwargs={"vocab_ref": vref},
+        )
+        .map_batches(
+            _pmi_rows, batch_format="pyarrow", zero_copy_batch=True,
+            fn_kwargs={"ref": ref},
+        )
+        .select_columns(["a", "b", "cnt", "pmi_fp"])
+        .sort(["pmi_fp", "cnt", "a", "b"],
+              descending=[True, True, False, False])
+        .limit(k)
+    )
+
+
 DECONTAM_BENCH_MAX_ID = 10  # doc_id < 10 ⇒ benchmark member
 
 

@@ -427,7 +427,7 @@ LINFIT_X_BUCKET_S = 60            # x = minutes since LINFIT_EPOCH0
 LINFIT_Y_SCALE = 100              # y = floor(value · 100), centi-units
 
 
-def _linfit_partials(batch: pa.Table) -> pa.Table:
+def _linfit_partials(batch: pa.Table, with_y2: bool = False) -> pa.Table:
     """Per-block INTEGER sufficient statistics (n, Σx, Σy, Σxy, Σx²) per
     event_type — the mergeable state of a distributed least-squares fit
     (the same partial/combine shape as grouped_count; nothing but five
@@ -447,8 +447,11 @@ def _linfit_partials(batch: pa.Table) -> pa.Table:
     types, code = np.unique(et, return_inverse=True)
     k = len(types)
     out = {}
-    for name, w in (("n", None), ("sum_x", x), ("sum_y", y),
-                    ("sum_xy", x * y), ("sum_x2", x * x)):
+    cols = [("n", None), ("sum_x", x), ("sum_y", y),
+            ("sum_xy", x * y), ("sum_x2", x * x)]
+    if with_y2:
+        cols.append(("sum_y2", y * y))
+    for name, w in cols:
         acc = np.zeros(k, dtype=np.int64)
         if w is None:
             np.add.at(acc, code, 1)
@@ -597,3 +600,39 @@ def events_late_arrivals(sf_dir: str) -> Dataset:
     return partials.groupby("bucket_ts").aggregate(
         Sum("on_time", alias_name="on_time"), Sum("late", alias_name="late")
     ).sort("bucket_ts")
+
+
+def events_value_corr(sf_dir: str):
+    """Per-event_type PEARSON CORRELATION of value against time — the same
+    mergeable integer-sufficient-statistics shape as
+    :func:`events_value_linfit` with a sixth sum (Σy²): one bounded
+    groupby-sum merges six int64 partials per group; r derives on the
+    driver from exact Python-int numerator/variances (sqrt is IEEE
+    correctly-rounded on both engines, so the one float expression is
+    bit-stable vs the oracle)."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    partials = _events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+        _linfit_partials, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"with_y2": True},
+    )
+    agg = partials.groupby("event_type").aggregate(
+        *[Sum(c, alias_name=c)
+          for c in ("n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2")]
+    ).to_pandas()
+    corrs = []
+    for r in agg.itertuples(index=False):
+        n, sx, sy, sxy, sx2, sy2 = (int(r.n), int(r.sum_x), int(r.sum_y),
+                                    int(r.sum_xy), int(r.sum_x2),
+                                    int(r.sum_y2))
+        num = n * sxy - sx * sy
+        dx, dy = n * sx2 - sx * sx, n * sy2 - sy * sy
+        if dx == 0 or dy == 0:
+            corrs.append(None)
+            continue
+        corrs.append(float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy))))
+    agg["corr"] = pd.array(corrs, dtype="float64")
+    return agg.sort_values("event_type").reset_index(drop=True)

@@ -39,7 +39,7 @@ MUST_VERIFY = {
     "multimodal_video_frames", "docs_bigram_surprisal",
     "severity_tool_rollup", "conv_tool_pagerank",
     "docs_kmv_distinct", "events_value_linfit", "events_late_arrivals",
-    "docs_char_entropy",
+    "docs_char_entropy", "events_value_corr", "docs_pmi_topk",
 }
 
 
@@ -775,3 +775,65 @@ def test_char_entropy_astral_and_order_invariance():
     assert out[0]["n_chars"] == len(a) == out[1]["n_chars"]
     assert out[0]["sum_bits"] == out[1]["sum_bits"]
     assert out[0]["distinct_chars"] == out[1]["distinct_chars"]
+
+
+# --- Pearson correlation ---------------------------------------------------------
+
+def test_corr_partials_include_y2():
+    from pgweasel_ray.pipelines import events as E
+
+    base_us = E.LINFIT_EPOCH0 * 1_000_000
+    t = pa.table({
+        "ts": pa.array([base_us, base_us + 60_000_000],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(["a", "a"], type=pa.string()),
+        "value": pa.array([2.0, 3.0], type=pa.float64()),
+    })
+    out = E._linfit_partials(t, with_y2=True).to_pylist()[0]
+    assert out["sum_y2"] == 200 * 200 + 300 * 300
+
+
+def test_corr_perfect_line_is_one(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pgweasel_ray.pipelines import events as E
+
+    base_us = E.LINFIT_EPOCH0 * 1_000_000
+    xs = list(range(12))
+    t = pa.table({
+        "ts": pa.array([base_us + x * 60_000_000 for x in xs],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(["up"] * 12 + [], type=pa.string()),
+        "value": pa.array([3.0 * x + 1.0 for x in xs], type=pa.float64()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = E.events_value_corr(str(tmp_path))
+    assert abs(out.loc[0, "corr"] - 1.0) < 1e-12
+    assert out.loc[0, "sum_y2"] == sum((300 * x + 100) ** 2 for x in xs)
+
+
+# --- PMI collocations ------------------------------------------------------------
+
+def test_pmi_rows_exact_fixed_point(ray_session):
+    import ray
+
+    vw = np.array(["x", "y"], dtype=object)
+    vc = np.array([10, 4], dtype=np.int64)
+    ref = ray.put((vw, vc, 100))
+    t = pa.table({
+        "a": pa.array(["x"], type=pa.string()),
+        "b": pa.array(["y"], type=pa.string()),
+        "cnt": pa.array([4], type=pa.int64()),
+    })
+    out = dataprep._pmi_rows(t, ref).to_pylist()[0]
+    # (2^20 · 4 · 100) // (10 · 4) = 2^20 · 10
+    assert out["pmi_fp"] == dataprep.PMI_SCALE * 10
+
+
+def test_pmi_min_count_filter():
+    t = pa.table({"key": pa.array([1, 2], type=pa.int64()),
+                  "cnt": pa.array([dataprep.PMI_MIN_COUNT,
+                                   dataprep.PMI_MIN_COUNT - 1],
+                                  type=pa.int64())})
+    out = dataprep._pmi_min_count(t)
+    assert out["key"].to_pylist() == [1]
