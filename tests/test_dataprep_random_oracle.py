@@ -88,6 +88,11 @@ def _assert_matches_oracle(random_dir, oracle_con, name, fn):
         "dedup_chunks": oracle_queries._dedup_chunks_sql,
         "docs_shuffle_order": oracle_queries._shuffle_order_sql,
         "docs_pack_sequences": oracle_queries._pack_sequences_sql,
+        "docs_lm_surprisal": oracle_queries._lm_surprisal_sql,
+        "docs_bigram_surprisal": oracle_queries._bigram_surprisal_sql,
+        "docs_char_entropy": oracle_queries._char_entropy_sql,
+        "docs_pmi_topk": oracle_queries._pmi_topk_sql,
+        "docs_kmv_distinct": oracle_queries._kmv_distinct_sql,
     }[name]()
     ray_df = to_df(fn(random_dir))
     ora_df = oracle_con.sql(sql).df()
@@ -114,6 +119,11 @@ def _assert_matches_oracle(random_dir, oracle_con, name, fn):
         ("dedup_chunks", dataprep.dedup_chunks),
         ("docs_shuffle_order", dataprep.docs_shuffle_order),
         ("docs_pack_sequences", dataprep.docs_pack_sequences),
+        ("docs_lm_surprisal", dataprep.docs_lm_surprisal),
+        ("docs_bigram_surprisal", dataprep.docs_bigram_surprisal),
+        ("docs_char_entropy", dataprep.docs_char_entropy),
+        ("docs_pmi_topk", dataprep.docs_pmi_topk),
+        ("docs_kmv_distinct", dataprep.docs_kmv_distinct),
     ],
 )
 def test_random_corpus_matches_oracle(random_dir, oracle_con, name, fn):

@@ -837,3 +837,49 @@ def test_pmi_min_count_filter():
                                   type=pa.int64())})
     out = dataprep._pmi_min_count(t)
     assert out["key"].to_pylist() == [1]
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_late_arrivals_random_vs_naive(ray_session, tmp_path_factory, seed):
+    """Distribution-independent watermark evidence: random event times and
+    SHUFFLED event_ids (so the straggler-delay arrival order is genuinely
+    out of order), distributed pipeline vs a naive O(n log n) single-pass
+    Python replay of the same rule."""
+    import pyarrow.parquet as pq
+
+    from pgweasel_ray import hashing as H
+    from pgweasel_ray.pipelines import events as E
+
+    rng = np.random.default_rng(seed)
+    n = 500
+    ids = rng.permutation(n * 3)[:n].astype(np.int64)
+    base = E.LINFIT_EPOCH0 * 1_000_000
+    ts = base + rng.integers(0, 40 * 3600, n) * 1_000_000
+    d = tmp_path_factory.mktemp(f"late{seed}")
+    pq.write_table(pa.table({
+        "event_id": pa.array(ids, type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+    }), d / "events.parquet")
+
+    got = {r["bucket_ts"]: (r["on_time"], r["late"])
+           for r in E.events_late_arrivals(str(d)).to_pandas().to_dict("records")}
+
+    # naive replay
+    w = E.LATE_WINDOW_S * 1_000_000
+    a = E.LATE_ALLOWED_S * 1_000_000
+    dly = E.LATE_STRAGGLER_DELAY_S * 1_000_000
+    strag = ((ids % H.P) * H.SHUF_A + H.SHUF_B) % H.P % E.LATE_STRAGGLER_MOD == 0
+    order = np.lexsort((ids, ts + strag * dly))
+    want = {}
+    wm = None
+    for i in order:
+        t = int(ts[i])
+        bucket = (t // w) * w
+        late = wm is not None and bucket + w <= wm - a
+        o, l = want.get(bucket, (0, 0))
+        want[bucket] = (o + (not late), l + late)
+        wm = t if wm is None else max(wm, t)
+    import pandas as pd
+
+    want = {pd.Timestamp(k, unit="us"): v for k, v in want.items()}
+    assert got == want
