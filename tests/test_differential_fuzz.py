@@ -101,3 +101,45 @@ def test_filter_parity(texts):
     )
     assert got_l == list(ora["l"])
     assert got_s == list(ora["s"])
+
+
+@given(st.lists(st.floats(min_value=0.0, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=50))
+@settings(max_examples=60, deadline=None)
+def test_float_floor_quantization_parity(values):
+    """The linfit/corr y-quantization floor(value·100) must agree
+    bit-for-bit between numpy and DuckDB on arbitrary doubles (both are
+    IEEE double multiply + floor; a divergence would silently break the
+    sufficient-statistics oracles)."""
+    import numpy as np
+
+    from pgweasel_ray.pipelines.events import LINFIT_Y_SCALE
+
+    np_y = np.floor(
+        np.array(values, dtype=np.float64) * LINFIT_Y_SCALE
+    ).astype(np.int64)
+    con = duckdb.connect()
+    df = pd.DataFrame({"v": pd.array(values, dtype="float64")})
+    con.register("t", df)
+    duck_y = con.sql(
+        f"SELECT floor(v * {LINFIT_Y_SCALE})::BIGINT AS y FROM t"
+    ).df()["y"].to_numpy()
+    assert (np_y == duck_y).all()
+
+
+@given(st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=40, deadline=None)
+def test_sqrt_and_division_parity(dx):
+    """sqrt + the corr float expression tree must match DuckDB exactly
+    (IEEE correctly-rounded sqrt on both engines)."""
+    import math
+
+    num = 3 * dx + 1
+    dy = 2 * dx + 7
+    py = float(num) / (math.sqrt(float(dx or 1)) * math.sqrt(float(dy)))
+    got = duckdb.sql(
+        f"SELECT {num}::HUGEINT::DOUBLE / (sqrt(({dx or 1})::HUGEINT::DOUBLE)"
+        f" * sqrt({dy}::HUGEINT::DOUBLE)) AS r"
+    ).fetchone()[0]
+    assert py == got

@@ -883,3 +883,51 @@ def test_late_arrivals_random_vs_naive(ray_session, tmp_path_factory, seed):
 
     want = {pd.Timestamp(k, unit="us"): v for k, v in want.items()}
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [3, 9])
+def test_pagerank_random_graph_vs_sql(tmp_path_factory, seed):
+    """Iteration parity on RANDOM graphs: pagerank_ranks on naively-derived
+    edges vs the chained-CTE HUGEINT oracle over the same random
+    (conv_id, turn_idx, tool) table — including dangling nodes."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pgweasel_ray import oracle_queries
+    from pgweasel_ray.pipelines import windows as W
+
+    rng = np.random.default_rng(seed)
+    tools = [f"t{i}" for i in range(6)]
+    rows = []
+    for conv in range(25):
+        for turn in range(int(rng.integers(1, 8))):
+            rows.append((f"c{conv}", turn, tools[rng.integers(0, 6)]))
+    d = tmp_path_factory.mktemp(f"prg{seed}")
+    pq.write_table(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], type=pa.int32()),
+        "tool": pa.array([r[2] for r in rows], type=pa.string()),
+    }), d / "t.parquet")
+
+    # naive edge derivation (per conv, consecutive turns)
+    from collections import Counter, defaultdict
+
+    byconv = defaultdict(list)
+    for c, t, tool in rows:
+        byconv[c].append((t, tool))
+    edges = Counter()
+    for seq in byconv.values():
+        seq.sort()
+        for (_, a), (_, b) in zip(seq, seq[1:]):
+            edges[(a, b)] += 1
+    ranks = W.pagerank_ranks([(a, b, c) for (a, b), c in edges.items()])
+
+    sql = oracle_queries._tool_pagerank_sql(str(d / "t.parquet"))
+    want = duckdb.sql(sql).df()
+    got = ranks.sort_values("tool").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got, want.sort_values("tool").reset_index(drop=True),
+        check_dtype=False,
+    )
