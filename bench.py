@@ -154,7 +154,14 @@ def run_bench() -> dict:
                          ("docs_decontaminate_bloom",
                           dataprep.docs_decontaminate_bloom),
                          ("docs_inverted_postings",
-                          dataprep.docs_inverted_postings)):
+                          dataprep.docs_inverted_postings),
+                         ("docs_bigram_surprisal",
+                          dataprep.docs_bigram_surprisal),
+                         ("docs_pmi_topk", dataprep.docs_pmi_topk),
+                         ("docs_char_entropy", dataprep.docs_char_entropy),
+                         ("docs_kmv_distinct", dataprep.docs_kmv_distinct),
+                         ("multimodal_video_frames",
+                          dataprep.multimodal_video_frames)):
             timed_e2e(name, fn, SF_DIR)
 
         from pgweasel_ray.pipelines import events, windows
