@@ -886,6 +886,59 @@ SELECT a, b, cnt, pmi_fp::BIGINT AS pmi_fp FROM p
 ORDER BY pmi_fp DESC, cnt DESC, a, b LIMIT {k}"""
 
 
+def _kmeans_sql(sf_dir: str) -> str:
+    """Lloyd's k-means replayed iteration by iteration: same shifted
+    fixed-point quantization (non-negative so DuckDB's truncating // and
+    Python's flooring // agree), same seed rule (K smallest vec_ids), same
+    exact int64 distances with ties to the lowest cluster, same floor-mean
+    updates with empty clusters keeping their centroid."""
+    k, s = dataprep.KM_K, dataprep.CENTROID_SCALE
+    dim = dataprep._embedding_dim(sf_dir)
+    iters = []
+    for t in range(1, dataprep.KM_ITERS + 1):
+        prev = f"c{t - 1}"
+        iters.append(f"""a{t} AS (
+  SELECT vec_id, qv, cluster FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY vec_id
+             ORDER BY d2, cluster) AS rk
+    FROM (
+      SELECT q.vec_id, q.qv, c.cluster,
+             list_sum(list_transform(range(1, {dim + 1}),
+               i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d2
+      FROM q CROSS JOIN {prev} c) d)
+  WHERE rk = 1
+), s{t} AS (
+  SELECT a.cluster, g.i AS dim_i, count(*)::BIGINT AS n,
+         sum(a.qv[g.i])::BIGINT AS sq
+  FROM a{t} a CROSS JOIN LATERAL (
+    SELECT unnest(range(1, {dim + 1})) AS i
+  ) g
+  GROUP BY a.cluster, g.i
+), m{t} AS (
+  SELECT cluster, max(n) AS n, list(sq // n ORDER BY dim_i) AS cv
+  FROM s{t} GROUP BY cluster
+), c{t} AS (
+  SELECT p.cluster, coalesce(m.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN m{t} m ON p.cluster = m.cluster
+)""")
+        last = t
+    chain = ",\n".join(iters)
+    return f"""WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> floor(x::DOUBLE * {s})::BIGINT + {s}) AS qv
+  FROM embeddings
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv AS cv
+  FROM q ORDER BY vec_id LIMIT {k}
+),
+{chain}
+SELECT c.cluster, coalesce(m.n, 0)::BIGINT AS n,
+       (g.i - 1)::BIGINT AS dim_idx, (c.cv[g.i] - {s})::BIGINT AS c_fp
+FROM c{last} c LEFT JOIN m{last} m ON c.cluster = m.cluster
+CROSS JOIN LATERAL (SELECT unnest(range(1, {dim + 1})) AS i) g
+ORDER BY c.cluster, dim_idx"""
+
+
 def _char_entropy_sql() -> str:
     """Character entropy replayed literally: per-(doc, codepoint) counts via
     1-based char indexing + unicode(), same integer floor-log2 bits."""
@@ -1531,6 +1584,7 @@ FROM parsed GROUP BY ROLLUP(severity, tool)""",
         "docs_char_entropy": _char_entropy_sql(),
         "events_value_corr": _value_corr_sql(),
         "docs_pmi_topk": _pmi_topk_sql(),
+        "embed_kmeans_centroids": _kmeans_sql(sf_dir),
         "docs_line_dedup": _line_dedup_sql(),
         "docs_minhash_sim_topk": _minhash_sim_topk_sql(),
         "docs_contamination_overlap": _contamination_overlap_sql(),

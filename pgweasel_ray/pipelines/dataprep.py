@@ -1404,6 +1404,110 @@ def embed_label_centroids(sf_dir: str) -> Dataset:
     )
 
 
+# --- distributed Lloyd's k-means (full-corpus iterative training loop) ----------
+
+KM_K = 4          # clusters
+KM_ITERS = 2      # fixed Lloyd iterations (each = one full-corpus scan)
+KM_SHIFT = CENTROID_SCALE   # shift fixed-point values non-negative: DuckDB's
+                            # integer // TRUNCATES while Python's floors, so
+                            # every division must see non-negative operands
+
+
+def _km_quantize(emb_col) -> np.ndarray:
+    if isinstance(emb_col, pa.ChunkedArray):
+        emb_col = emb_col.combine_chunks()
+    mat = np.asarray(emb_col.flatten(), dtype=np.float64).reshape(
+        len(emb_col), -1
+    )
+    return np.floor(mat * CENTROID_SCALE).astype(np.int64) + KM_SHIFT
+
+
+def _km_assign_partials(batch: pa.Table, cref) -> pa.Table:
+    """One Lloyd ASSIGNMENT pass over a block: exact int64 squared
+    distances to the broadcast centroids (all arithmetic on shifted
+    non-negative fixed-point ints — bit-identical to the oracle), argmin
+    with ties to the lowest cluster, then per-cluster component-sum
+    partials. Rows leaving the block: ≤ k·(dim+1) — the count partial
+    rides along as dim_idx = −1."""
+    import ray
+
+    C = ray.get(cref)
+    k, dim = C.shape
+    empty = pa.table({"cluster": pa.array([], type=pa.int64()),
+                      "dim_idx": pa.array([], type=pa.int64()),
+                      "s": pa.array([], type=pa.int64())})
+    if batch.num_rows == 0:
+        return empty
+    Q = _km_quantize(batch["embedding"])
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(d2, axis=1)   # first occurrence ⇒ lowest cluster on ties
+    sums = np.zeros((k, dim), dtype=np.int64)
+    np.add.at(sums, a, Q)
+    counts = np.bincount(a, minlength=k).astype(np.int64)
+    js = np.flatnonzero(counts > 0)
+    cluster = np.concatenate([np.repeat(js, dim), js])
+    dim_idx = np.concatenate(
+        [np.tile(np.arange(dim, dtype=np.int64), len(js)),
+         np.full(len(js), -1, dtype=np.int64)]
+    )
+    s = np.concatenate([sums[js].ravel(), counts[js]])
+    return pa.table({"cluster": pa.array(cluster, type=pa.int64()),
+                     "dim_idx": pa.array(dim_idx, type=pa.int64()),
+                     "s": pa.array(s, type=pa.int64())})
+
+
+def embed_kmeans_centroids(sf_dir: str) -> pd.DataFrame:
+    """FULL-CORPUS distributed Lloyd's k-means — the iterative ML training
+    loop as a first-class operator: KM_ITERS fixed iterations, each ONE
+    streaming assignment scan of every embedding against the broadcast
+    centroids, reduced to ≤ k·(dim+1) integer partial rows per block and
+    one bounded groupby-sum; the centroid update runs on the driver over
+    the k×dim table. Unlike the bounded-sample training of IVF/SemDeDup,
+    every vector votes every iteration — and the whole loop is EXACT:
+    shifted fixed-point arithmetic end to end (init = the K smallest
+    vec_ids, floor-mean updates, empty clusters keep their centroid), so
+    the oracle replays all iterations bit-for-bit in chained CTEs. Output:
+    (cluster, n, dim_idx, c_fp) long-format final centroids."""
+    import ray
+
+    ds = _embeddings(sf_dir, ["vec_id", "embedding"]).materialize()
+    seed = ds.sort("vec_id").limit(KM_K).to_pandas()
+    C = np.floor(
+        np.stack(seed["embedding"].to_numpy()).astype(np.float64)
+        * CENTROID_SCALE
+    ).astype(np.int64) + KM_SHIFT
+    n_final = np.zeros(KM_K, dtype=np.int64)
+    for _ in range(KM_ITERS):
+        cref = ray.put(C)
+        agg = ds.map_batches(
+            _km_assign_partials, batch_format="pyarrow",
+            zero_copy_batch=True, fn_kwargs={"cref": cref},
+        ).groupby(["cluster", "dim_idx"]).aggregate(
+            Sum("s", alias_name="s")
+        ).to_pandas()
+        counts = dict(
+            zip(agg.loc[agg["dim_idx"] == -1, "cluster"],
+                agg.loc[agg["dim_idx"] == -1, "s"])
+        )
+        comp = agg[agg["dim_idx"] >= 0]
+        newC = C.copy()
+        n_final = np.zeros(KM_K, dtype=np.int64)
+        for j in range(KM_K):
+            n = int(counts.get(j, 0))
+            n_final[j] = n
+            if n > 0:
+                rows = comp[comp["cluster"] == j].sort_values("dim_idx")
+                newC[j] = rows["s"].to_numpy().astype(np.int64) // n
+        C = newC
+    dim = C.shape[1]
+    return pd.DataFrame({
+        "cluster": np.repeat(np.arange(KM_K, dtype=np.int64), dim),
+        "n": np.repeat(n_final, dim),
+        "dim_idx": np.tile(np.arange(dim, dtype=np.int64), KM_K),
+        "c_fp": (C - KM_SHIFT).ravel(),
+    })
+
+
 STRATIFIED_K = 25  # exact per-source quota
 
 

@@ -40,6 +40,7 @@ MUST_VERIFY = {
     "severity_tool_rollup", "conv_tool_pagerank",
     "docs_kmv_distinct", "events_value_linfit", "events_late_arrivals",
     "docs_char_entropy", "events_value_corr", "docs_pmi_topk",
+    "embed_kmeans_centroids",
 }
 
 
@@ -929,5 +930,76 @@ def test_pagerank_random_graph_vs_sql(tmp_path_factory, seed):
 
     pd.testing.assert_frame_equal(
         got, want.sort_values("tool").reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+# --- distributed Lloyd's k-means --------------------------------------------------
+
+def test_km_assign_partials_hand_case(ray_session):
+    import ray
+
+    C = np.array([[0, 0], [1000, 1000]], dtype=np.int64) + dataprep.KM_SHIFT
+    # floats that quantize near each centroid (shift cancels in distances)
+    s = dataprep.CENTROID_SCALE
+    batch = pa.table({
+        "embedding": pa.array(
+            [[1 / s, 2 / s], [999 / s, 998 / s], [0.0, 0.0]],
+            type=pa.list_(pa.float32()),
+        )
+    })
+    out = dataprep._km_assign_partials(batch, ray.put(C)).to_pylist()
+    counts = {r["cluster"]: r["s"] for r in out if r["dim_idx"] == -1}
+    assert counts == {0: 2, 1: 1}
+    # component sums for cluster 0: q rows [1,2] and [0,0] (+shift each)
+    s0 = {r["dim_idx"]: r["s"] for r in out
+          if r["cluster"] == 0 and r["dim_idx"] >= 0}
+    assert s0 == {0: 1 + 0 + 2 * dataprep.KM_SHIFT,
+                  1: 2 + 0 + 2 * dataprep.KM_SHIFT}
+
+
+def test_km_tie_goes_to_lowest_cluster(ray_session):
+    import ray
+
+    C = np.array([[10], [10]], dtype=np.int64)  # identical centroids
+    batch = pa.table({
+        "embedding": pa.array([[0.0]], type=pa.list_(pa.float32()))
+    })
+    out = dataprep._km_assign_partials(batch, ray.put(C)).to_pylist()
+    assert {r["cluster"] for r in out} == {0}
+
+
+@pytest.mark.parametrize("seed", [2, 8])
+def test_kmeans_random_vs_sql(ray_session, tmp_path_factory, seed):
+    """Full-loop parity on RANDOM embeddings: the distributed pipeline vs
+    the chained-CTE oracle over the same parquet — seeds, exact integer
+    distances, floor-mean updates, empty-cluster retention, both
+    iterations."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pgweasel_ray import oracle_queries
+
+    rng = np.random.default_rng(seed)
+    n, dim = 80, 8
+    vecs = rng.normal(0, 0.3, (n, dim)).astype(np.float32)
+    d = tmp_path_factory.mktemp(f"km{seed}")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+        "label": pa.array([0] * n, type=pa.int32()),
+    }), d / "embeddings.parquet")
+
+    got = dataprep.embed_kmeans_centroids(str(d))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet')")
+    want = con.sql(oracle_queries._kmeans_sql(str(d))).df()
+    import pandas as pd
+
+    cols = ["cluster", "n", "dim_idx", "c_fp"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(["cluster", "dim_idx"]).reset_index(drop=True),
+        want[cols].sort_values(["cluster", "dim_idx"]).reset_index(drop=True),
         check_dtype=False,
     )
