@@ -161,8 +161,15 @@ def run_bench() -> dict:
                          ("docs_char_entropy", dataprep.docs_char_entropy),
                          ("docs_kmv_distinct", dataprep.docs_kmv_distinct),
                          ("multimodal_video_frames",
-                          dataprep.multimodal_video_frames)):
+                          dataprep.multimodal_video_frames),
+                         ("embed_kmeans_centroids",
+                          dataprep.embed_kmeans_centroids)):
             timed_e2e(name, fn, SF_DIR)
+
+        from pgweasel_ray.pipelines import core as core_mod
+
+        timed_e2e("severity_tool_rollup",
+                  core_mod.severity_tool_rollup, SF_DIR)
 
         from pgweasel_ray.pipelines import events, windows
 
