@@ -1585,6 +1585,18 @@ FROM parsed GROUP BY ROLLUP(severity, tool)""",
         "events_value_corr": _value_corr_sql(),
         "docs_pmi_topk": _pmi_topk_sql(),
         "embed_kmeans_centroids": _kmeans_sql(sf_dir),
+        # equi-depth bins: ntile splits the sorted multiset at fixed ranks,
+        # so per-bin (count, min, max) is tie-permutation-invariant
+        "events_value_bins": f"""
+WITH b AS (
+  SELECT event_type, value,
+         ntile({events_mod.EQ_BINS}) OVER (
+           PARTITION BY event_type ORDER BY value) AS bin
+  FROM events
+)
+SELECT event_type, bin::BIGINT AS bin, count(*)::BIGINT AS n_rows,
+       min(value) AS vmin, max(value) AS vmax
+FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
         "docs_line_dedup": _line_dedup_sql(),
         "docs_minhash_sim_topk": _minhash_sim_topk_sql(),
         "docs_contamination_overlap": _contamination_overlap_sql(),

@@ -636,3 +636,102 @@ def events_value_corr(sf_dir: str):
         corrs.append(float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy))))
     agg["corr"] = pd.array(corrs, dtype="float64")
     return agg.sort_values("event_type").reset_index(drop=True)
+
+
+# --- equi-depth binning (histogram equalization) --------------------------------
+
+EQ_BINS = 8
+
+
+def _bin_partials(t: pa.Table, offsets: dict, totals: dict,
+                  q: int) -> pa.Table:
+    """Per-block equi-depth bin partials for a (event_type, value)-sorted
+    block: global per-group rank = group block-offset + local position,
+    bin = the exact ntile(q) rank rule (first n%q bins take one extra
+    row), then per-(group, bin) count/min/max partials. Tie runs
+    straddling a bin edge are harmless: the sorted multiset is split at
+    fixed ranks, so per-bin (count, min, max) is permutation-invariant —
+    exactly why the ntile oracle is deterministic too."""
+    import numpy as np
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "bin": pa.array([], type=pa.int64()),
+                      "n_rows": pa.array([], type=pa.int64()),
+                      "vmin": pa.array([], type=pa.float64()),
+                      "vmax": pa.array([], type=pa.float64())})
+    if t.num_rows == 0:
+        return empty
+    et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    vals = t["value"].to_numpy(zero_copy_only=False)
+    starts = np.r_[0, np.flatnonzero(et[1:] != et[:-1]) + 1]
+    ends = np.r_[starts[1:], len(et)]
+    o_g, o_b, o_n, o_lo, o_hi = [], [], [], [], []
+    for s, e in zip(starts, ends):
+        g = et[s]
+        n, base = totals[g], offsets.get(g, 0)
+        rank = base + np.arange(e - s, dtype=np.int64)
+        bsz, r = n // q, n % q
+        edge = r * (bsz + 1)
+        bin_ = np.where(
+            rank < edge, rank // (bsz + 1),
+            r + (rank - edge) // max(bsz, 1),
+        ) + 1
+        v = vals[s:e]
+        ub, code = np.unique(bin_, return_inverse=True)
+        cnt = np.bincount(code).astype(np.int64)
+        lo = np.full(len(ub), np.inf)
+        np.minimum.at(lo, code, v)
+        hi = np.full(len(ub), -np.inf)
+        np.maximum.at(hi, code, v)
+        o_g.extend([g] * len(ub))
+        o_b.append(ub)
+        o_n.append(cnt)
+        o_lo.append(lo)
+        o_hi.append(hi)
+    return pa.table({
+        "event_type": pa.array(o_g, type=pa.string()),
+        "bin": pa.array(np.concatenate(o_b), type=pa.int64()),
+        "n_rows": pa.array(np.concatenate(o_n), type=pa.int64()),
+        "vmin": pa.array(np.concatenate(o_lo), type=pa.float64()),
+        "vmax": pa.array(np.concatenate(o_hi), type=pa.float64()),
+    })
+
+
+def events_value_bins(sf_dir: str, q: int = EQ_BINS) -> Dataset:
+    """EQUI-DEPTH binning (histogram equalization) per event_type: split
+    each group's sorted values into q rank-balanced bins and report each
+    bin's row count and [min, max] value span — the data-dependent bin
+    boundaries a feature-bucketizer or a skew report needs.
+
+    Shape: the per-group two-phase rank machinery of
+    :func:`events_value_quantiles` generalized from picking single ranks
+    to assigning EVERY row its global per-group rank (one {group: count}
+    dict per block to the driver, never a value), the exact ntile rule per
+    block, per-block (group, bin) partials, and one bounded groupby
+    merge — ≤ groups × q rows end to end."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    ordered = _events(sf_dir, ["event_type", "value"]) \
+        .sort(["event_type", "value"]).materialize()
+    refs = ordered.to_arrow_refs()
+    part = ray.remote(num_cpus=0.25)(_evq_block_counts)
+    per_block = ray.get([part.remote(r) for r in refs])
+    groups = sorted({g for d in per_block for g in d})
+    totals = {g: sum(d.get(g, 0) for d in per_block) for g in groups}
+    offsets = []
+    run = dict.fromkeys(groups, 0)
+    for d in per_block:
+        offsets.append(dict(run))
+        for g, c in d.items():
+            run[g] += c
+    app = ray.remote(num_cpus=0.25)(_bin_partials)
+    partials = ray.data.from_arrow_refs(
+        [app.remote(r, o, totals, q) for r, o in zip(refs, offsets)]
+    )
+    return partials.groupby(["event_type", "bin"]).aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Min("vmin", alias_name="vmin"),
+        Max("vmax", alias_name="vmax"),
+    ).sort(["event_type", "bin"])

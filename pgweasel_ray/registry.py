@@ -76,10 +76,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_corr": events.events_value_corr,
         "docs_pmi_topk": dataprep.docs_pmi_topk,
         "embed_kmeans_centroids": dataprep.embed_kmeans_centroids,
+        "events_value_bins": events.events_value_bins,
         # --- tier C: r02-green, pushed out of the r03 window --------------
-        "ann_cosine_topk": dataprep.ann_cosine_topk,
         # ---- slot 50 boundary: entries below are long-stable (green since
         # r01/r02) or r02/r03-green and fall outside the window this round -
+        "ann_cosine_topk": dataprep.ann_cosine_topk,
         "docs_lang_id": dataprep.docs_lang_id,
         "docs_fingerprint": dataprep.docs_fingerprint,
         "docs_scrub": dataprep.docs_scrub,

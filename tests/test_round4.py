@@ -40,7 +40,7 @@ MUST_VERIFY = {
     "severity_tool_rollup", "conv_tool_pagerank",
     "docs_kmv_distinct", "events_value_linfit", "events_late_arrivals",
     "docs_char_entropy", "events_value_corr", "docs_pmi_topk",
-    "embed_kmeans_centroids",
+    "embed_kmeans_centroids", "events_value_bins",
 }
 
 
@@ -1003,3 +1003,41 @@ def test_kmeans_random_vs_sql(ray_session, tmp_path_factory, seed):
         want[cols].sort_values(["cluster", "dim_idx"]).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+# --- equi-depth binning -----------------------------------------------------------
+
+def test_bin_partials_ntile_rule_uneven():
+    from pgweasel_ray.pipelines import events as E
+
+    # one group, n=10, q=4 → ntile sizes 3,3,2,2
+    vals = [float(v) for v in range(10)]
+    t = pa.table({"event_type": pa.array(["g"] * 10, type=pa.string()),
+                  "value": pa.array(vals, type=pa.float64())})
+    out = E._bin_partials(t, {"g": 0}, {"g": 10}, 4).to_pylist()
+    by = {r["bin"]: (r["n_rows"], r["vmin"], r["vmax"]) for r in out}
+    assert by == {1: (3, 0.0, 2.0), 2: (3, 3.0, 5.0),
+                  3: (2, 6.0, 7.0), 4: (2, 8.0, 9.0)}
+
+
+def test_bin_partials_cross_block_offsets():
+    from pgweasel_ray.pipelines import events as E
+
+    # the same 10 rows split across two blocks must give identical bins
+    vals = [float(v) for v in range(10)]
+
+    def block(lo, hi, base):
+        t = pa.table({
+            "event_type": pa.array(["g"] * (hi - lo), type=pa.string()),
+            "value": pa.array(vals[lo:hi], type=pa.float64()),
+        })
+        return E._bin_partials(t, {"g": base}, {"g": 10}, 4).to_pylist()
+
+    merged = {}
+    for r in block(0, 4, 0) + block(4, 10, 4):
+        k = r["bin"]
+        n, lo, hi = merged.get(k, (0, float("inf"), float("-inf")))
+        merged[k] = (n + r["n_rows"], min(lo, r["vmin"]),
+                     max(hi, r["vmax"]))
+    assert merged == {1: (3, 0.0, 2.0), 2: (3, 3.0, 5.0),
+                      3: (2, 6.0, 7.0), 4: (2, 8.0, 9.0)}
