@@ -186,6 +186,7 @@ def run_bench() -> dict:
                   events.events_late_arrivals, SF_DIR)
         timed_e2e("events_value_linfit",
                   events.events_value_linfit, SF_DIR)
+        timed_e2e("events_value_bins", events.events_value_bins, SF_DIR)
 
     result = {
         "metric": "parse→route→aggregate throughput (turns/sec)",
