@@ -1120,6 +1120,58 @@ def _tool_pagerank_sql(glob: str) -> str:
 SELECT tool, rank::BIGINT AS rank FROM r{W.PR_ITERS} ORDER BY tool"""
 
 
+def _tool_hits_sql(glob: str) -> str:
+    """HITS replayed as chained HUGEINT CTEs over the same transition-count
+    edge table: authority then hub per iteration, each half-step
+    floor-renormalized to HITS_SCALE — the same exact integer rule the
+    pipeline's Python-int loop applies."""
+    from .pipelines import windows as W
+
+    s = W.HITS_SCALE
+    steps = []
+    prev_h = "h0"
+    for t in range(1, W.HITS_ITERS + 1):
+        steps.append(f"""a{t}raw AS (
+  SELECT nd.tool, coalesce(sum(x.wv), 0)::HUGEINT AS v
+  FROM nd LEFT JOIN (
+    SELECT e.dst AS tool, e.w * h.v AS wv
+    FROM e JOIN {prev_h} h ON e.src = h.tool
+  ) x ON x.tool = nd.tool GROUP BY nd.tool
+), a{t} AS (
+  SELECT r.tool, CASE WHEN m.m > 0 THEN r.v * {s} // m.m ELSE r.v END AS v
+  FROM a{t}raw r CROSS JOIN (SELECT max(v) AS m FROM a{t}raw) m
+), h{t}raw AS (
+  SELECT nd.tool, coalesce(sum(x.wv), 0)::HUGEINT AS v
+  FROM nd LEFT JOIN (
+    SELECT e.src AS tool, e.w * a.v AS wv
+    FROM e JOIN a{t} a ON e.dst = a.tool
+  ) x ON x.tool = nd.tool GROUP BY nd.tool
+), h{t} AS (
+  SELECT r.tool, CASE WHEN m.m > 0 THEN r.v * {s} // m.m ELSE r.v END AS v
+  FROM h{t}raw r CROSS JOIN (SELECT max(v) AS m FROM h{t}raw) m
+)""")
+        prev_h = f"h{t}"
+    chain = ",\n".join(steps)
+    it = W.HITS_ITERS
+    return f"""WITH t AS (
+  SELECT conv_id, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM read_parquet('{glob}')
+), e AS (
+  SELECT prev AS src, tool AS dst, count(*)::HUGEINT AS w
+  FROM t WHERE prev IS NOT NULL GROUP BY 1, 2
+), nd AS (
+  SELECT src AS tool FROM e UNION SELECT dst FROM e
+), h0 AS (
+  SELECT tool, {s}::HUGEINT AS v FROM nd
+),
+{chain}
+SELECT nd.tool, h{it}.v::BIGINT AS hub, a{it}.v::BIGINT AS authority
+FROM nd JOIN h{it} ON nd.tool = h{it}.tool
+JOIN a{it} ON nd.tool = a{it}.tool
+ORDER BY nd.tool"""
+
+
 def _line_dedup_sql() -> str:
     """Line dedup replayed literally on line STRINGS: min packed
     (doc_id << LINE_IDX_BITS | idx) per distinct line, kept-per-doc counts,
@@ -1578,6 +1630,7 @@ SELECT coalesce(severity, '{core.ROLLUP_ALL}') AS severity,
        coalesce(tool, '{core.ROLLUP_ALL}') AS tool, count(*) AS cnt
 FROM parsed GROUP BY ROLLUP(severity, tool)""",
         "conv_tool_pagerank": _tool_pagerank_sql(glob),
+        "conv_tool_hits": _tool_hits_sql(glob),
         "docs_kmv_distinct": _kmv_distinct_sql(),
         "events_value_linfit": _value_linfit_sql(),
         "events_late_arrivals": _late_arrivals_sql(),

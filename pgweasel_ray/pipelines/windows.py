@@ -674,3 +674,61 @@ def pagerank_ranks(edges: list[tuple[str, str, int]]) -> pd.DataFrame:
              for v in range(n)]
     out = pd.DataFrame({"tool": nodes, "rank": pd.array(r, dtype="int64")})
     return out.sort_values("tool").reset_index(drop=True)
+
+
+# --- HITS hubs/authorities over the tool-transition graph -----------------------
+
+HITS_ITERS = 2
+HITS_SCALE = 10**6   # integer renormalization ceiling after every half-step
+
+
+def hits_scores(edges: list[tuple[str, str, int]]) -> pd.DataFrame:
+    """HITS power iteration on a BOUNDED edge list, all-integer: authority
+    a(v) = Σ_{u→v} w·h(u), hub h(v) = Σ_{v→u} w·a(u), each half-step
+    renormalized to max = HITS_SCALE by an exact floor division (keeps
+    every product inside HUGEINT/Python-int range at any edge weight —
+    and makes the iterates bit-replayable in SQL). Ties and zero rows are
+    exact, no floats anywhere."""
+    nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"tool": pd.Series([], dtype=object),
+                             "hub": pd.Series([], dtype="int64"),
+                             "authority": pd.Series([], dtype="int64")})
+    idx = {t: i for i, t in enumerate(nodes)}
+    ew = [(idx[a], idx[b], int(c)) for a, b, c in edges]
+
+    def norm(x):
+        m = max(x)
+        return [v * HITS_SCALE // m for v in x] if m > 0 else x
+
+    h = [HITS_SCALE] * n
+    a = [0] * n
+    for _ in range(HITS_ITERS):
+        a = [0] * n
+        for s, d, c in ew:
+            a[d] += c * h[s]
+        a = norm(a)
+        h = [0] * n
+        for s, d, c in ew:
+            h[s] += c * a[d]
+        h = norm(h)
+    return pd.DataFrame({
+        "tool": nodes,
+        "hub": pd.array(h, dtype="int64"),
+        "authority": pd.array(a, dtype="int64"),
+    }).sort_values("tool").reset_index(drop=True)
+
+
+def conv_tool_hits(sf_dir: str) -> pd.DataFrame:
+    """HITS over the tool-transition graph — hubs (tools activity flows
+    OUT of) and authorities (tools it flows INTO), the directional
+    complement of :func:`conv_tool_pagerank`. Same scale shape: the
+    distributed stage is the transition-count edge aggregation over every
+    consecutive turn pair; the iteration runs on the bounded |tools|²
+    table in exact integer arithmetic (floor-renormalized half-steps),
+    bit-replayed by the oracle's chained HUGEINT CTEs."""
+    edges = conv_tool_transitions(sf_dir).to_pandas()
+    return hits_scores(
+        list(zip(edges["from_tool"], edges["to_tool"], edges["cnt"]))
+    )

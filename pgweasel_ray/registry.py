@@ -79,7 +79,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_bins": events.events_value_bins,
         # --- tier C: r02-green, pushed out of the r03 window --------------
         # ---- slot 50 boundary: entries below are long-stable (green since
-        # r01/r02) or r02/r03-green and fall outside the window this round -
+        # r01/r02), r02/r03-green, or (conv_tool_hits) added after the
+        # round-4 window filled with 50 must-verify entries — first
+        # window candidate for round 5 --------------------------------------
+        "conv_tool_hits": windows.conv_tool_hits,
         "ann_cosine_topk": dataprep.ann_cosine_topk,
         "docs_lang_id": dataprep.docs_lang_id,
         "docs_fingerprint": dataprep.docs_fingerprint,

@@ -1041,3 +1041,65 @@ def test_bin_partials_cross_block_offsets():
                      max(hi, r["vmax"]))
     assert merged == {1: (3, 0.0, 2.0), 2: (3, 3.0, 5.0),
                       3: (2, 6.0, 7.0), 4: (2, 8.0, 9.0)}
+
+
+# --- HITS hubs/authorities --------------------------------------------------------
+
+def test_hits_hand_numbers(monkeypatch):
+    from pgweasel_ray.pipelines import windows as W
+
+    monkeypatch.setattr(W, "HITS_ITERS", 1)
+    s = W.HITS_SCALE
+    # A -> B (w=2), A -> C (w=1): A is the only hub; B beats C on authority
+    out = W.hits_scores([("A", "B", 2), ("A", "C", 1)])
+    by = {r["tool"]: (r["hub"], r["authority"])
+          for r in out.to_dict("records")}
+    # a1 raw: B = 2s, C = s, A = 0 → normalized B = s, C = s//2
+    assert by["B"][1] == s and by["C"][1] == s * 1 // 2 and by["A"][1] == 0
+    # h1 raw: A = 2·a(B) + 1·a(C) = 2s + s//2; only hub → normalizes to s
+    assert by["A"][0] == s and by["B"][0] == 0 and by["C"][0] == 0
+
+
+@pytest.mark.parametrize("seed", [4, 13])
+def test_hits_random_graph_vs_sql(tmp_path_factory, seed):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pgweasel_ray import oracle_queries
+    from pgweasel_ray.pipelines import windows as W
+
+    rng = np.random.default_rng(seed)
+    tools = [f"t{i}" for i in range(5)]
+    rows = []
+    for conv in range(20):
+        for turn in range(int(rng.integers(1, 7))):
+            rows.append((f"c{conv}", turn, tools[rng.integers(0, 5)]))
+    d = tmp_path_factory.mktemp(f"hits{seed}")
+    pq.write_table(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], type=pa.int32()),
+        "tool": pa.array([r[2] for r in rows], type=pa.string()),
+    }), d / "t.parquet")
+
+    from collections import Counter, defaultdict
+
+    byconv = defaultdict(list)
+    for c, t, tool in rows:
+        byconv[c].append((t, tool))
+    edges = Counter()
+    for seq in byconv.values():
+        seq.sort()
+        for (_, a), (_, b) in zip(seq, seq[1:]):
+            edges[(a, b)] += 1
+    got = W.hits_scores([(a, b, c) for (a, b), c in edges.items()])
+    want = duckdb.sql(
+        oracle_queries._tool_hits_sql(str(d / "t.parquet"))
+    ).df()
+    import pandas as pd
+
+    cols = ["tool", "hub", "authority"]
+    pd.testing.assert_frame_equal(
+        got[cols].reset_index(drop=True),
+        want[cols].sort_values("tool").reset_index(drop=True),
+        check_dtype=False,
+    )
