@@ -1631,6 +1631,32 @@ SELECT coalesce(severity, '{core.ROLLUP_ALL}') AS severity,
 FROM parsed GROUP BY ROLLUP(severity, tool)""",
         "conv_tool_pagerank": _tool_pagerank_sql(glob),
         "conv_tool_hits": _tool_hits_sql(glob),
+        # robust stats: the same pct·(n−1)//100 selection rule as the
+        # quantile family, applied twice (value, then |value − median|)
+        "events_value_mad": f"""
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) - 1
+           AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), med AS (
+  SELECT event_type, value AS m FROM r WHERE rk = (50 * (n - 1)) // 100
+), r2 AS (
+  SELECT e.event_type, abs(e.value - med.m) AS dev,
+         row_number() OVER (PARTITION BY e.event_type
+                            ORDER BY abs(e.value - med.m)) - 1 AS rk,
+         count(*) OVER (PARTITION BY e.event_type) AS n
+  FROM events e JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, dev AS d FROM r2 WHERE rk = (50 * (n - 1)) // 100
+)
+SELECT e.event_type, count(*)::BIGINT AS n,
+       any_value(med.m) AS median, any_value(mad.d) AS mad,
+       sum(CASE WHEN abs(e.value - med.m) > {events_mod.MAD_K} * mad.d
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type""",
         "docs_kmv_distinct": _kmv_distinct_sql(),
         "events_value_linfit": _value_linfit_sql(),
         "events_late_arrivals": _late_arrivals_sql(),

@@ -735,3 +735,107 @@ def events_value_bins(sf_dir: str, q: int = EQ_BINS) -> Dataset:
         Min("vmin", alias_name="vmin"),
         Max("vmax", alias_name="vmax"),
     ).sort(["event_type", "bin"])
+
+
+# --- robust anomaly stats: median / MAD / outlier counts -------------------------
+
+MAD_K = 3   # outlier rule: |value − median| > MAD_K · MAD
+
+
+def _abs_dev(batch: pa.Table, med_ref) -> pa.Table:
+    """(event_type, value) → (event_type, value=|value − group median|):
+    the deviation pass between the two distributed selections. The group
+    medians are a broadcast dict (≤ |groups| floats)."""
+    import numpy as np
+    import ray
+
+    med = ray.get(med_ref)
+    et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+    v = batch["value"].to_numpy(zero_copy_only=False)
+    m = np.array([med[g] for g in et], dtype=np.float64)
+    return pa.table({
+        "event_type": batch["event_type"],
+        "value": pa.array(np.abs(v - m), type=pa.float64()),
+    })
+
+
+def _outlier_partials(batch: pa.Table, ref) -> pa.Table:
+    """Per-block (event_type, n, n_outliers) partials under the broadcast
+    (median, MAD) pair — the final counting scan."""
+    import numpy as np
+    import ray
+
+    med, mad = ray.get(ref)
+    et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+    v = batch["value"].to_numpy(zero_copy_only=False)
+    groups, code = np.unique(et, return_inverse=True)
+    m = np.array([med[g] for g in groups], dtype=np.float64)[code]
+    d = np.array([mad[g] for g in groups], dtype=np.float64)[code]
+    out = np.abs(v - m) > MAD_K * d
+    n = np.bincount(code, minlength=len(groups)).astype(np.int64)
+    n_out = np.zeros(len(groups), dtype=np.int64)
+    np.add.at(n_out, code, out)
+    return pa.table({
+        "event_type": pa.array(groups, type=pa.string()),
+        "n": pa.array(n, type=pa.int64()),
+        "n_outliers": pa.array(n_out, type=pa.int64()),
+    })
+
+
+def events_value_mad(sf_dir: str):
+    """ROBUST anomaly statistics per event_type: exact median, exact MAD
+    (median absolute deviation), and the count of |value − median| >
+    MAD_K·MAD outliers — the outlier rule that, unlike the z-score
+    (events_anomaly), is itself immune to the outliers it hunts.
+
+    Shape: TWO chained distributed selections (the per-group two-phase
+    rank machinery of events_value_quantiles, run once on value and once
+    on the deviations — the deviation pass broadcasts ≤ |groups| medians,
+    never a value), then one counting scan under the broadcast
+    (median, MAD) pair. Three scans + two sorts is the honest cost of
+    exact robust statistics; every float op (subtract, abs, compare) is
+    the same IEEE expression the oracle evaluates."""
+    import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    med_df = events_value_quantiles(sf_dir, pcts=(50,))
+    med = dict(zip(med_df["event_type"], med_df["value"]))
+    med_ref = ray.put(med)
+
+    devs = _events(sf_dir, ["event_type", "value"]).map_batches(
+        _abs_dev, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"med_ref": med_ref},
+    ).sort(["event_type", "value"]).materialize()
+    refs = devs.to_arrow_refs()
+    part = ray.remote(num_cpus=0.25)(_evq_block_counts)
+    per_block = ray.get([part.remote(r) for r in refs])
+    groups = sorted({g for d in per_block for g in d})
+    totals = {g: sum(d.get(g, 0) for d in per_block) for g in groups}
+    targets = {g: ((50, 50 * (totals[g] - 1) // 100),)
+               for g in groups if totals[g] > 0}
+    offsets = []
+    run = dict.fromkeys(groups, 0)
+    for d in per_block:
+        offsets.append(dict(run))
+        for g, c in d.items():
+            run[g] += c
+    app = ray.remote(num_cpus=0.25)(_evq_pick)
+    picked = ray.data.from_arrow_refs(
+        [app.remote(r, o, targets) for r, o in zip(refs, offsets)]
+    ).to_pandas()
+    mad = dict(zip(picked["event_type"], picked["value"]))
+
+    ref2 = ray.put((med, mad))
+    counts = _events(sf_dir, ["event_type", "value"]).map_batches(
+        _outlier_partials, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"ref": ref2},
+    ).groupby("event_type").aggregate(
+        Sum("n", alias_name="n"), Sum("n_outliers", alias_name="n_outliers")
+    ).to_pandas()
+    counts["median"] = counts["event_type"].map(med)
+    counts["mad"] = counts["event_type"].map(mad)
+    return counts.sort_values("event_type").reset_index(drop=True)[
+        ["event_type", "n", "median", "mad", "n_outliers"]
+    ]

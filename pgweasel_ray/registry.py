@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 window filled with 50 must-verify entries — first
         # window candidate for round 5 --------------------------------------
         "conv_tool_hits": windows.conv_tool_hits,
+        "events_value_mad": events.events_value_mad,
         "ann_cosine_topk": dataprep.ann_cosine_topk,
         "docs_lang_id": dataprep.docs_lang_id,
         "docs_fingerprint": dataprep.docs_fingerprint,

@@ -1103,3 +1103,51 @@ def test_hits_random_graph_vs_sql(tmp_path_factory, seed):
         want[cols].sort_values("tool").reset_index(drop=True),
         check_dtype=False,
     )
+
+
+# --- robust MAD anomaly stats ------------------------------------------------------
+
+def test_mad_kernels_hand_case(ray_session):
+    import ray
+
+    from pgweasel_ray.pipelines import events as E
+
+    batch = pa.table({
+        "event_type": pa.array(["a", "a", "a", "b"], type=pa.string()),
+        "value": pa.array([1.0, 2.0, 100.0, 5.0], type=pa.float64()),
+    })
+    dev = E._abs_dev(batch, ray.put({"a": 2.0, "b": 5.0}))
+    assert dev["value"].to_pylist() == [1.0, 0.0, 98.0, 0.0]
+    out = E._outlier_partials(
+        batch, ray.put(({"a": 2.0, "b": 5.0}, {"a": 1.0, "b": 0.0}))
+    ).to_pylist()
+    by = {r["event_type"]: (r["n"], r["n_outliers"]) for r in out}
+    # a: |100-2| = 98 > 3·1 → 1 outlier; b: 0 > 0 false → none
+    assert by == {"a": (3, 1), "b": (1, 0)}
+
+
+def test_mad_e2e_vs_naive(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pgweasel_ray.pipelines import events as E
+
+    rng = np.random.default_rng(21)
+    n = 200
+    vals = np.round(rng.normal(50, 5, n), 3)
+    vals[:4] = [500.0, -400.0, 499.0, 498.0]  # planted outliers
+    t = pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "ts": pa.array([E.LINFIT_EPOCH0 * 1_000_000 + i for i in range(n)],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(["x"] * n, type=pa.string()),
+        "value": pa.array(vals, type=pa.float64()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = E.events_value_mad(str(tmp_path)).iloc[0]
+    sv = np.sort(vals)
+    m = sv[(50 * (n - 1)) // 100]
+    dev = np.sort(np.abs(vals - m))
+    mad = dev[(50 * (n - 1)) // 100]
+    assert out["median"] == m and out["mad"] == mad
+    assert out["n_outliers"] == int((np.abs(vals - m) > 3 * mad).sum())
+    assert out["n_outliers"] >= 4
