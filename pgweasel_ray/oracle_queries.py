@@ -1657,6 +1657,19 @@ SELECT e.event_type, count(*)::BIGINT AS n,
                 THEN 1 ELSE 0 END)::BIGINT AS n_outliers
 FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
 GROUP BY e.event_type ORDER BY e.event_type""",
+        "events_daily_top_types": f"""
+WITH c AS (
+  SELECT {oracle.bucket_expr(86400)} AS bucket_ts, event_type,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket_ts
+             ORDER BY cnt DESC, event_type) AS rank
+  FROM c
+)
+SELECT bucket_ts, rank::BIGINT AS rank, event_type, cnt
+FROM r WHERE rank <= {events_mod.DAILY_TOP_K}
+ORDER BY bucket_ts, rank""",
         "docs_kmv_distinct": _kmv_distinct_sql(),
         "events_value_linfit": _value_linfit_sql(),
         "events_late_arrivals": _late_arrivals_sql(),

@@ -839,3 +839,32 @@ def events_value_mad(sf_dir: str):
     return counts.sort_values("event_type").reset_index(drop=True)[
         ["event_type", "n", "median", "mad", "n_outliers"]
     ]
+
+
+# --- windowed heavy hitters: top-k event types per day ----------------------------
+
+DAILY_TOP_K = 3
+
+
+def events_daily_top_types(sf_dir: str, k: int = DAILY_TOP_K):
+    """Top-k event types per DAY window — the windowed-heavy-hitter report.
+    Shape: the distributed work is the pre-aggregated grouped count per
+    (day, event_type) — bounded at days × |types| rows no matter how many
+    events feed it — and the per-window rank runs on that bounded table
+    (ties by count desc, then event_type, exactly the oracle's
+    row_number order)."""
+    ds = _events(sf_dir, ["ts", "event_type"])
+    bucketed = ds.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"width_s": 86400},
+    ).select_columns(["bucket_ts", "event_type"])
+    counts = grouped_count(
+        bucketed, ["bucket_ts", "event_type"]
+    ).to_pandas()
+    counts = counts.sort_values(
+        ["bucket_ts", "cnt", "event_type"], ascending=[True, False, True]
+    )
+    counts["rank"] = counts.groupby("bucket_ts").cumcount() + 1
+    out = counts[counts["rank"] <= k].reset_index(drop=True)
+    out["rank"] = out["rank"].astype("int64")
+    return out[["bucket_ts", "rank", "event_type", "cnt"]]

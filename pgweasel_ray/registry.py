@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window candidate for round 5 --------------------------------------
         "conv_tool_hits": windows.conv_tool_hits,
         "events_value_mad": events.events_value_mad,
+        "events_daily_top_types": events.events_daily_top_types,
         "ann_cosine_topk": dataprep.ann_cosine_topk,
         "docs_lang_id": dataprep.docs_lang_id,
         "docs_fingerprint": dataprep.docs_fingerprint,
