@@ -128,6 +128,7 @@ def run_bench() -> dict:
                          ("corpus_prep", dataprep.corpus_prep),
                          ("docs_vocab_topk", dataprep.docs_vocab_topk),
                          ("dedup_chunks", dataprep.dedup_chunks),
+                         ("dedup_exact_substr", dataprep.dedup_exact_substr),
                          ("docs_pack_sequences",
                           dataprep.docs_pack_sequences),
                          ("dedup_components", dataprep.dedup_components),

@@ -357,7 +357,8 @@ def _dedup_chunks_sql() -> str:
 ), m AS (
   SELECT min(doc_id * {mod} + chunk_idx) AS keep FROM ch GROUP BY chunk
 )
-SELECT keep // {mod} AS doc_id, keep % {mod} AS chunk_idx FROM m"""
+SELECT keep // {mod} AS doc_id, keep % {mod} AS chunk_idx FROM m
+ORDER BY doc_id, chunk_idx"""
 
 
 def _lm_surprisal_sql() -> str:
@@ -425,7 +426,8 @@ SELECT d.doc_id,
        coalesce(agg.clean_text, '') AS clean_text
 FROM documents d
 LEFT JOIN tot ON d.doc_id = tot.doc_id
-LEFT JOIN agg ON d.doc_id = agg.doc_id"""
+LEFT JOIN agg ON d.doc_id = agg.doc_id
+ORDER BY d.doc_id"""
 
 
 def _shuffle_order_sql() -> str:
@@ -435,6 +437,45 @@ def _shuffle_order_sql() -> str:
   FROM documents
 )
 SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) - 1 AS pos FROM k"""
+
+
+def _exsub_sql() -> str:
+    """ExactSubstr duplicate spans replayed literally: overlapping L-token
+    shingles AS STRINGS (the pipeline's 128-bit polynomial hash stands in
+    for string identity — the dedup_exact 2^-64 equivalence), keep-first by
+    min packed id, then the same gaps-and-islands union per doc."""
+    L = dataprep.EXSUB_L
+    B = 1 << dataprep.EXSUB_IDX_BITS
+    return rf"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+), sh AS (
+  SELECT doc_id, i - 1 AS p, array_to_string(ws[i:i+{L}-1], ' ') AS g
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(ws) - {L} + 1)) AS i) s
+), k AS (
+  SELECT doc_id, p,
+         count(*) OVER (PARTITION BY g) AS cnt,
+         min(doc_id * {B} + p) OVER (PARTITION BY g) AS keep
+  FROM sh
+), dup AS (
+  SELECT doc_id, p FROM k WHERE cnt > 1 AND doc_id * {B} + p <> keep
+), isl AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                  <= {L} THEN 0 ELSE 1 END AS brk
+  FROM dup
+), grp AS (
+  SELECT doc_id, p,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, island, max(p) - min(p) + {L} AS span
+  FROM grp GROUP BY doc_id, island
+)
+SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+       sum(span)::BIGINT AS dup_tokens
+FROM spans GROUP BY doc_id ORDER BY doc_id"""
 
 
 def _pack_sequences_sql() -> str:
@@ -450,7 +491,7 @@ def _pack_sequences_sql() -> str:
 )
 SELECT strt // {cap} AS seq_id, count(*)::BIGINT AS n_docs,
        sum(n_tok)::BIGINT AS n_tokens
-FROM s GROUP BY seq_id"""
+FROM s GROUP BY seq_id ORDER BY seq_id"""
 
 
 def _corpus_export_counts_sql() -> str:
@@ -644,7 +685,8 @@ voc AS (
                             ORDER BY tf.tf * v.idf_fp DESC, tf.word) AS rn
   FROM tf JOIN voc v ON tf.word = v.word
 )
-SELECT doc_id, term, tf, score FROM sc WHERE rn <= {k}"""
+SELECT doc_id, term, tf, score FROM sc WHERE rn <= {k}
+ORDER BY doc_id, term"""
 
 
 def _distinct_hll_sql() -> str:
@@ -731,7 +773,8 @@ SELECT p.doc_id, p.height, p.width, p.channels,
 FROM p CROSS JOIN LATERAL (
   SELECT unnest(range(0, p.height * p.width * p.channels)) AS i
 ) g
-GROUP BY p.doc_id, p.height, p.width, p.channels"""
+GROUP BY p.doc_id, p.height, p.width, p.channels
+ORDER BY p.doc_id"""
 
 
 def _multimodal_audio_stats_sql() -> str:
@@ -757,7 +800,8 @@ SELECT p.doc_id, p.sample_rate, p.n_samples,
 FROM p CROSS JOIN LATERAL (
   SELECT unnest(range(0, p.n_samples)) AS i
 ) g
-GROUP BY p.doc_id, p.sample_rate, p.n_samples"""
+GROUP BY p.doc_id, p.sample_rate, p.n_samples
+ORDER BY p.doc_id"""
 
 
 def _kmv_distinct_sql() -> str:
@@ -780,7 +824,7 @@ def _kmv_distinct_sql() -> str:
 SELECT source, count(*)::BIGINT AS n_bottom, max(h)::BIGINT AS kth_h,
        (CASE WHEN count(*) < {k} THEN count(*)
              ELSE ({k} - 1) * {p} // max(h) END)::BIGINT AS est_distinct
-FROM b GROUP BY source"""
+FROM b GROUP BY source ORDER BY source"""
 
 
 def _value_linfit_sql() -> str:
@@ -1019,7 +1063,8 @@ SELECT f.doc_id, f.frame_idx::BIGINT AS frame_idx, f.height, f.width,
 FROM f CROSS JOIN LATERAL (
   SELECT unnest(range(0, f.height * f.width)) AS i
 ) j
-GROUP BY f.doc_id, f.frame_idx, f.height, f.width"""
+GROUP BY f.doc_id, f.frame_idx, f.height, f.width
+ORDER BY f.doc_id, f.frame_idx"""
 
 
 def _bigram_surprisal_sql() -> str:
@@ -1191,7 +1236,8 @@ def _line_dedup_sql() -> str:
 )
 SELECT t.doc_id, len(t.ls)::BIGINT AS n_lines,
        coalesce(k.n_kept, 0)::BIGINT AS n_kept
-FROM t LEFT JOIN k ON t.doc_id = k.doc_id""".format(mod=mod)
+FROM t LEFT JOIN k ON t.doc_id = k.doc_id
+ORDER BY t.doc_id""".format(mod=mod)
 
 
 def _minhash_sim_topk_sql() -> str:
@@ -1258,7 +1304,7 @@ def _source_stats_sql() -> str:
 SELECT source, count(*)::BIGINT AS n_docs,
        sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens,
        sum(length(text))::BIGINT AS n_chars
-FROM documents GROUP BY source"""
+FROM documents GROUP BY source ORDER BY source"""
 
 
 def build_oracles(sf_dir: str) -> dict[str, str]:
@@ -1278,7 +1324,7 @@ SELECT conv_id, turn_idx, severity, message, text FROM parsed
 WHERE severity_rank >= {core.ERROR_RANK}""",
         "errors_by_severity": f"""{cte}
 SELECT severity, count(*) AS cnt FROM parsed
-WHERE severity_rank >= {core.ERROR_RANK} GROUP BY severity""",
+WHERE severity_rank >= {core.ERROR_RANK} GROUP BY severity ORDER BY severity""",
         "errors_top_messages": f"""{cte}
 SELECT message, count(*) AS cnt FROM parsed
 WHERE severity_rank >= {core.ERROR_RANK} AND message IS NOT NULL
@@ -1293,10 +1339,12 @@ WHERE contains(text, '{core.MASK_SUBSTRING}')
         "errors_window": f"""{cte}
 SELECT conv_id, turn_idx, severity, text FROM parsed
 WHERE severity_rank >= {core.ERROR_RANK}
-  AND ts >= TIMESTAMP '{core.WINDOW_BEGIN}' AND ts <= TIMESTAMP '{core.WINDOW_END}'""",
+  AND ts >= TIMESTAMP '{core.WINDOW_BEGIN}' AND ts <= TIMESTAMP '{core.WINDOW_END}'
+ORDER BY conv_id, turn_idx""",
         "slow_list": f"""{cte}
 SELECT conv_id, turn_idx, duration_ms, text FROM parsed
-WHERE severity_rank >= {core.LOG_RANK} AND duration_ms > {core.SLOW_THRESHOLD_MS}""",
+WHERE severity_rank >= {core.LOG_RANK} AND duration_ms > {core.SLOW_THRESHOLD_MS}
+ORDER BY conv_id, turn_idx""",
         "slow_top": f"""{cte}
 SELECT conv_id, turn_idx, duration_ms, text FROM parsed
 WHERE severity_rank >= {core.LOG_RANK} AND duration_ms IS NOT NULL
@@ -1306,7 +1354,8 @@ SELECT conv_id, turn_idx, text FROM parsed
 WHERE severity_rank >= {core.LOG_RANK} AND is_lock""",
         "system": f"""{cte}
 SELECT conv_id, turn_idx, text FROM parsed
-WHERE severity_rank >= {core.LOG_RANK} AND is_system""",
+WHERE severity_rank >= {core.LOG_RANK} AND is_system
+ORDER BY conv_id, turn_idx""",
         "connections_summary": f"""{cte}
 SELECT
   sum(CASE WHEN event = 'received' THEN 1 ELSE 0 END)::BIGINT AS attempts,
@@ -1316,16 +1365,16 @@ SELECT
 FROM parsed""",
         "connections_by_host": f"""{cte}
 SELECT coalesce(host, 'unknown') AS host, count(*) AS cnt FROM parsed
-WHERE event = 'received' GROUP BY 1""",
+WHERE event = 'received' GROUP BY 1 ORDER BY 1""",
         "connections_by_user": f"""{cte}
 SELECT coalesce("user", 'unknown') AS "user", count(*) AS cnt FROM parsed
-WHERE event = 'authorized' GROUP BY 1""",
+WHERE event = 'authorized' GROUP BY 1 ORDER BY 1""",
         "connections_by_db": f"""{cte}
 SELECT coalesce(db, 'unknown') AS db, count(*) AS cnt FROM parsed
-WHERE event = 'authorized' GROUP BY 1""",
+WHERE event = 'authorized' GROUP BY 1 ORDER BY 1""",
         "connections_by_appname": f"""{cte}
 SELECT coalesce(appname, 'unknown') AS appname, count(*) AS cnt FROM parsed
-WHERE event = 'authorized' GROUP BY 1""",
+WHERE event = 'authorized' GROUP BY 1 ORDER BY 1""",
         "connections_by_bucket": f"""{cte}
 SELECT {b10} AS bucket_ts, count(*) AS cnt FROM parsed
 WHERE event = 'received' GROUP BY bucket_ts ORDER BY bucket_ts""",
@@ -1334,13 +1383,13 @@ SELECT regexp_extract(text, '{_SQLSTATE}', 1) AS sqlstate, count(*) AS cnt
 FROM parsed
 WHERE severity_rank >= {core.ERROR_RANK}
   AND regexp_matches(text, '{_SQLSTATE}')
-GROUP BY 1""",
+GROUP BY 1 ORDER BY 1""",
         "disconnections_by_host": f"""{cte}
 SELECT coalesce(host, 'unknown') AS host, count(*) AS cnt FROM parsed
-WHERE event = 'disconnection' GROUP BY 1""",
+WHERE event = 'disconnection' GROUP BY 1 ORDER BY 1""",
         "conv_first_error": f"""{cte}
 SELECT conv_id, min(turn_idx) AS first_error_turn FROM parsed
-WHERE severity_rank >= {core.ERROR_RANK} GROUP BY conv_id""",
+WHERE severity_rank >= {core.ERROR_RANK} GROUP BY conv_id ORDER BY conv_id""",
         "sessions_top_errors": f"""{cte}
 SELECT conv_id, count(*)::BIGINT AS n_turns,
        sum(CASE WHEN severity_rank >= {core.ERROR_RANK} THEN 1 ELSE 0 END)::BIGINT AS n_errors
@@ -1353,7 +1402,7 @@ SELECT conv_id,
        max(ts) AS last_ts,
        sum(CASE WHEN severity_rank >= {core.ERROR_RANK} THEN 1 ELSE 0 END)::BIGINT AS n_errors,
        string_agg(text, chr(10) ORDER BY turn_idx) AS transcript
-FROM parsed GROUP BY conv_id""",
+FROM parsed GROUP BY conv_id ORDER BY conv_id""",
         "enriched_severity_counts": f"""{cte}
 SELECT coalesce(rt.tenant, 'unknown') AS tenant,
        coalesce(tsb.subsystem, 'unknown') AS subsystem,
@@ -1361,7 +1410,7 @@ SELECT coalesce(rt.tenant, 'unknown') AS tenant,
 FROM parsed p
 LEFT JOIN read_parquet('{role_pq}') rt ON p.role = rt.role
 LEFT JOIN read_parquet('{tool_pq}') tsb ON p.tool = tsb.tool
-GROUP BY 1, 2, 3""",
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
         "routed_counts": f"""{cte}
 SELECT severity, count(*) AS cnt FROM parsed GROUP BY severity ORDER BY severity""",
         # --- events table (driver's native view) ---
@@ -1369,7 +1418,8 @@ SELECT severity, count(*) AS cnt FROM parsed GROUP BY severity ORDER BY severity
 SELECT {eh} AS bucket_ts, count(*) AS cnt FROM events
 GROUP BY bucket_ts ORDER BY bucket_ts""",
         "events_top_types": """
-SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type""",
+SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+ORDER BY event_type""",
         "events_value_quantiles": f"""
 WITH r AS (
   SELECT event_type, value,
@@ -1417,11 +1467,11 @@ ORDER BY cohort_week, week_offset""",
 SELECT event_type,
        sum(try_cast(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS BIGINT))::BIGINT AS sum_k,
        count(*) AS cnt
-FROM events GROUP BY event_type""",
+FROM events GROUP BY event_type ORDER BY event_type""",
         "events_value_range": """
 SELECT event_type, min(value) AS min_value, max(value) AS max_value,
        count(*) AS cnt
-FROM events GROUP BY event_type""",
+FROM events GROUP BY event_type ORDER BY event_type""",
         # --- windows / joins / stub commands made real ---
         "events_user_sessions": f"""
 WITH x AS (
@@ -1432,11 +1482,11 @@ WITH x AS (
               THEN 1 ELSE 0 END AS new_s
   FROM events)
 SELECT user_id, count(*)::BIGINT AS n_events, sum(new_s)::BIGINT AS n_sessions
-FROM x GROUP BY user_id""",
+FROM x GROUP BY user_id ORDER BY user_id""",
         "events_by_segment": """
 SELECT c.c_mktsegment, count(*) AS cnt
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
-GROUP BY 1""",
+GROUP BY 1 ORDER BY 1""",
         # as-of join: greatest right.ts <= left.ts per user; equal-ts ties
         # -> max event_id (the pipeline's merge_asof pick, made explicit)
         "events_asof_prior": """
@@ -1455,7 +1505,7 @@ WITH err AS (
 SELECT event_id, user_id, ts,
        coalesce(prior_event_id, -1)::BIGINT AS prior_event_id,
        coalesce(date_diff('microsecond', pts, ts), -1)::BIGINT AS gap_us
-FROM j WHERE rn = 1""",
+FROM j WHERE rn = 1 ORDER BY event_id""",
         "events_funnel": f"""
 WITH s AS (
   SELECT user_id, min(ts) AS fs FROM events
@@ -1503,7 +1553,7 @@ WITH t AS (
   FROM read_parquet('{glob}')
 )
 SELECT prev AS from_tool, tool AS to_tool, count(*)::BIGINT AS cnt
-FROM t WHERE prev IS NOT NULL GROUP BY 1, 2""",
+FROM t WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""",
         "events_sliding_avg": f"""
 WITH h AS (
   SELECT {eh} AS bucket_ts, count(*) AS cnt FROM events
@@ -1517,7 +1567,7 @@ FROM h ORDER BY bucket_ts""",
 SELECT conv_id, count(*) AS cnt FROM parsed
 WHERE conv_id IN (SELECT DISTINCT conv_id FROM parsed
                   WHERE event = 'auth_failure')
-GROUP BY conv_id""",
+GROUP BY conv_id ORDER BY conv_id""",
         "peaks": f"""{cte}
 SELECT {oracle.bucket_expr(600)} AS bucket_ts, count(*) AS cnt FROM parsed
 GROUP BY 1 ORDER BY cnt DESC, bucket_ts LIMIT 10""",
@@ -1532,10 +1582,10 @@ SELECT count(*)::BIGINT AS records,
 FROM parsed""",
         # --- documents / embeddings ---
         "dedup_exact": """
-SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""",
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""",
         # incremental dedup with id-ordered rounds == one-shot exact dedup
         "dedup_incremental": """
-SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""",
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""",
         "docs_token_stats": r"""
 SELECT doc_id,
        length(text)::BIGINT AS n_chars,
@@ -1604,7 +1654,7 @@ WITH e AS (
   FROM embeddings)
 SELECT label::BIGINT AS label, dim, sum(q)::BIGINT AS sum_q,
        count(*)::BIGINT AS n_vecs
-FROM e GROUP BY 1, 2""",
+FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
         "docs_vocab_topk": _vocab_topk_sql(),
         "docs_decontaminate": _decontaminate_sql(),
         "docs_decontaminate_bloom": _decontaminate_bloom_sql(),
@@ -1612,6 +1662,7 @@ FROM e GROUP BY 1, 2""",
         "docs_length_quantiles": _length_quantiles_sql(),
         "docs_normalize": _normalize_sql(),
         "dedup_chunks": _dedup_chunks_sql(),
+        "dedup_exact_substr": _exsub_sql(),
         "docs_strip_boilerplate": _strip_boilerplate_sql(),
         "docs_lm_surprisal": _lm_surprisal_sql(),
         "docs_tfidf_topk": _tfidf_topk_sql(),
@@ -1628,7 +1679,8 @@ FROM e GROUP BY 1, 2""",
         "severity_tool_rollup": f"""{cte}
 SELECT coalesce(severity, '{core.ROLLUP_ALL}') AS severity,
        coalesce(tool, '{core.ROLLUP_ALL}') AS tool, count(*) AS cnt
-FROM parsed GROUP BY ROLLUP(severity, tool)""",
+FROM parsed GROUP BY ROLLUP(severity, tool)
+ORDER BY severity, tool""",
         "conv_tool_pagerank": _tool_pagerank_sql(glob),
         "conv_tool_hits": _tool_hits_sql(glob),
         # robust stats: the same pct·(n−1)//100 selection rule as the
@@ -1702,4 +1754,74 @@ FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
     # the salted split-merge path must produce the identical result, so it
     # shares the unsalted oracle verbatim
     out["events_user_sessions_salted"] = out["events_user_sessions"]
+    # Deterministic-order contract (round 5): the r5b sweep proved that
+    # physical-scan-order alignment between Ray and DuckDB is FLAKY for
+    # multi-file inputs (errors_list/errors_masked/locks passed one run,
+    # failed the next), so every remaining no-ORDER-BY query gets a
+    # top-level ORDER BY here and a matching final .sort in its pipeline.
+    # Single-row outputs (stats, connections_summary, events_funnel) are
+    # order-free and excluded.
+    for name, key in _DETERMINISTIC_ORDER_KEYS.items():
+        out[name] = f"SELECT * FROM (\n{out[name]}\n) _q ORDER BY {key}"
+    # Bounded gate shape for survivor-id queries (VERDICT r4 item #7): the
+    # pipeline side returns ONE (count, min, max, xor, first-K sample) row
+    # via dataprep._survivor_summary; replay the identical fold here over
+    # the unchanged survivor-set SQL. xor covers EVERY id, so this is a
+    # full-set check, not a sample check.
+    for name, idc in _GATE_SUMMARY_IDS.items():
+        out[name] = _survivor_summary_sql(out[name], idc)
     return out
+
+
+_GATE_SUMMARY_IDS = {
+    "dedup_minhash": "doc_id",
+    "dedup_ngram_jaccard": "doc_id",
+    "dedup_simhash": "doc_id",
+    "docs_semdedup": "vec_id",
+    "corpus_prep": "doc_id",
+    "embed_neardup": "vec_id",
+}
+
+
+def _survivor_summary_sql(survivor_sql: str, id_col: str) -> str:
+    from .pipelines.dataprep import GATE_SAMPLE_K
+
+    return f"""WITH _s AS (
+{survivor_sql}
+)
+SELECT count(*)::BIGINT AS n_survivors,
+       min({id_col})::BIGINT AS min_id,
+       max({id_col})::BIGINT AS max_id,
+       bit_xor({id_col})::BIGINT AS xor_id,
+       (SELECT string_agg(CAST({id_col} AS VARCHAR), ',' ORDER BY {id_col})
+        FROM (SELECT {id_col} FROM _s ORDER BY {id_col}
+              LIMIT {GATE_SAMPLE_K}) _t) AS sample_ids
+FROM _s"""
+
+
+# unique output key per wrapped query (see loop in build_oracles)
+_DETERMINISTIC_ORDER_KEYS = {
+    "errors_list": "conv_id, turn_idx",
+    "errors_masked": "conv_id, turn_idx",
+    "locks": "conv_id, turn_idx",
+    "docs_token_stats": "doc_id",
+    "docs_bpe_tokens": "doc_id",
+    "docs_quality": "doc_id",
+    "docs_quality_filter": "doc_id",
+    "docs_lang_id": "doc_id",
+    "docs_fingerprint": "doc_id",
+    "docs_scrub": "doc_id",
+    "docs_repetition": "doc_id",
+    "docs_sample_hash": "doc_id",
+    "docs_weighted_sample": "doc_id",
+    "docs_decontaminate": "doc_id",
+    "docs_decontaminate_bloom": "doc_id",
+    "docs_normalize": "doc_id",
+    "docs_lm_surprisal": "doc_id",
+    "docs_shuffle_order": "doc_id",
+    "docs_select_budget": "doc_id",
+    "docs_gopher_filter": "doc_id",
+    "docs_bigram_surprisal": "doc_id",
+    "docs_char_entropy": "doc_id",
+    "docs_contamination_overlap": "doc_id",
+}

@@ -109,7 +109,7 @@ def errors_list(sf_dir: str, min_rank: int = ERROR_RANK) -> Dataset:
             min_rank=min_rank,
             keep=("conv_id", "turn_idx", "severity", "message", "text"),
         ),
-    )
+    ).sort(["conv_id", "turn_idx"])  # deterministic driver-hash order
 
 
 def errors_by_severity(sf_dir: str) -> Dataset:
@@ -123,7 +123,8 @@ def errors_by_severity(sf_dir: str) -> Dataset:
         fn_kwargs=dict(groups=("severity",), min_rank=ERROR_RANK,
                        keep=("severity",)),
     )
-    return grouped_count(rows, ["severity"])
+    return grouped_count(rows, ["severity"]
+                         ).sort("severity")  # deterministic driver-hash order
 
 
 def errors_top_messages(sf_dir: str, limit: int = TOP_N_MESSAGES) -> Dataset:
@@ -188,7 +189,7 @@ def slow_list(sf_dir: str, threshold_ms: float = SLOW_THRESHOLD_MS) -> Dataset:
     return parsed.map_batches(
         _slow_filter, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"threshold_ms": threshold_ms},
-    )
+    ).sort(["conv_id", "turn_idx"])  # deterministic driver-hash order
 
 
 def _slow_filter(batch: pa.Table, threshold_ms: float) -> pa.Table:
@@ -235,7 +236,7 @@ def locks(sf_dir: str) -> Dataset:
             require=(("is_lock", None),),
             keep=("conv_id", "turn_idx", "text"),
         ),
-    )
+    ).sort(["conv_id", "turn_idx"])  # deterministic driver-hash order
 
 
 def system(sf_dir: str) -> Dataset:
@@ -252,7 +253,7 @@ def system(sf_dir: str) -> Dataset:
             require=(("is_system", None),),
             keep=("conv_id", "turn_idx", "text"),
         ),
-    )
+    ).sort(["conv_id", "turn_idx"])  # deterministic driver-hash order
 
 
 def errors_masked(sf_dir: str, mask: str = MASK_SUBSTRING) -> Dataset:
@@ -269,7 +270,7 @@ def errors_masked(sf_dir: str, mask: str = MASK_SUBSTRING) -> Dataset:
             min_rank=ERROR_RANK,
             keep=("conv_id", "turn_idx", "severity", "text"),
         ),
-    )
+    ).sort(["conv_id", "turn_idx"])  # deterministic driver-hash order
 
 
 def errors_window(
@@ -289,7 +290,7 @@ def errors_window(
             end_us=_us(end),
             keep=("conv_id", "turn_idx", "severity", "text"),
         ),
-    )
+    ).sort(["conv_id", "turn_idx"])  # deterministic driver-hash order
 
 
 # --- connections -------------------------------------------------------------
@@ -341,7 +342,8 @@ def _conn_grouped(sf_dir: str, event: str, key: str) -> Dataset:
         _conn_key_rows, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"event": event, "key": key},
     )
-    return grouped_count(rows, [key])
+    return grouped_count(rows, [key]
+                         ).sort(key)  # deterministic driver-hash order
 
 
 def _conn_key_rows(batch: pa.Table, event: str, key: str) -> pa.Table:
@@ -403,7 +405,8 @@ def errors_by_sqlstate(sf_dir: str) -> Dataset:
         ),
     ).map_batches(_drop_null_sqlstates, batch_format="pyarrow",
                   zero_copy_batch=True)
-    return grouped_count(rows, ["sqlstate"])
+    return grouped_count(rows, ["sqlstate"]
+                         ).sort("sqlstate")  # deterministic driver-hash order
 
 
 def _drop_null_sqlstates(batch: pa.Table) -> pa.Table:
@@ -462,7 +465,7 @@ def sessions(sf_dir: str) -> Dataset:
         parts = parsed.repartition(n_parts, keys=["conv_id"], sort=False)
         return parts.map_batches(
             _sessions_block, batch_format="pandas", batch_size=None
-        )
+        ).sort("conv_id")  # deterministic driver-hash order
 
 
 _SESSION_DTYPES = {
@@ -514,7 +517,7 @@ def conv_first_error(sf_dir: str) -> Dataset:
     )
     return errs.groupby("conv_id").aggregate(
         Min("turn_idx", alias_name="first_error_turn")
-    )
+    ).sort("conv_id")  # deterministic driver-hash order
 
 
 def sessions_top_errors(sf_dir: str, k: int = 10) -> Dataset:
@@ -582,7 +585,7 @@ def enriched_severity_counts(sf_dir: str) -> Dataset:
     return grouped_count(
         enriched.select_columns(["tenant", "subsystem", "severity"]),
         ["tenant", "subsystem", "severity"],
-    )
+    ).sort(["tenant", "subsystem", "severity"])  # deterministic order
 
 
 # --- multi-level aggregate (ROLLUP / grouping sets) ---------------------------
@@ -607,6 +610,17 @@ def severity_tool_rollup(sf_dir: str) -> pd.DataFrame:
         fn_kwargs=dict(groups=("severity",), keep=("severity", "tool")),
     )
     fine = grouped_count(rows, ["severity", "tool"]).to_pandas()
+    # Guard the placeholder assumption (ADVICE r4): a NULL or literal 'ALL'
+    # severity/tool value would collide with the rollup sentinel (the oracle
+    # coalesces both to 'ALL', merging rows this pipeline would keep apart).
+    # Cheap — `fine` is the bounded |severities|×|tools| table.
+    for col in ("severity", "tool"):
+        vals = fine[col]
+        if vals.isna().any() or (vals == ROLLUP_ALL).any():
+            raise ValueError(
+                f"severity_tool_rollup: {col} contains NULL or the literal "
+                f"{ROLLUP_ALL!r}, which collides with the rollup placeholder"
+            )
     sev = fine.groupby("severity", as_index=False)["cnt"].sum()
     sev["tool"] = ROLLUP_ALL
     total = pd.DataFrame(

@@ -38,7 +38,8 @@ def events_per_hour(sf_dir: str) -> Dataset:
 
 def events_top_types(sf_dir: str) -> Dataset:
     """Count per event_type (frequency operator A1 shape, exact)."""
-    return grouped_count(_events(sf_dir, ["event_type"]), ["event_type"])
+    return grouped_count(_events(sf_dir, ["event_type"]), ["event_type"]
+                         ).sort("event_type")  # deterministic driver-hash order
 
 
 PROPS_K_PATTERN = r'"k": *(?P<k>-?[0-9]+)'
@@ -68,7 +69,7 @@ def events_props_k_sum(sf_dir: str) -> Dataset:
     )
     return partials.groupby("event_type").aggregate(
         Sum("sum_k", alias_name="sum_k"), Sum("cnt", alias_name="cnt")
-    )
+    ).sort("event_type")  # deterministic driver-hash order
 
 
 def events_value_range(sf_dir: str) -> Dataset:
@@ -80,7 +81,7 @@ def events_value_range(sf_dir: str) -> Dataset:
         Min("value", alias_name="min_value"),
         Max("value", alias_name="max_value"),
         Count(alias_name="cnt"),
-    )
+    ).sort("event_type")  # deterministic driver-hash order
 
 # --- conversion funnel ---------------------------------------------------------
 
@@ -439,7 +440,18 @@ def _linfit_partials(batch: pa.Table, with_y2: bool = False) -> pa.Table:
     import numpy as np
 
     ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-    x = (ts // 1_000_000 - LINFIT_EPOCH0) // LINFIT_X_BUCKET_S
+    ts_s = ts // 1_000_000
+    # HAZARD (ADVICE r4): numpy // floors toward -inf but the oracle's
+    # DuckDB // truncates toward zero, so a NEGATIVE (ts_s - EPOCH0) would
+    # silently break parity (-7//2 = -4 numpy vs -3 DuckDB). Guard rather
+    # than shift: x must be non-negative by construction.
+    if ts_s.size and int(ts_s.min()) < LINFIT_EPOCH0:
+        raise ValueError(
+            f"_linfit_partials: event ts {int(ts_s.min())} predates "
+            f"LINFIT_EPOCH0={LINFIT_EPOCH0}; floor-vs-trunc division would "
+            "diverge from the SQL oracle — lower LINFIT_EPOCH0."
+        )
+    x = (ts_s - LINFIT_EPOCH0) // LINFIT_X_BUCKET_S
     y = np.floor(
         batch["value"].to_numpy(zero_copy_only=False) * LINFIT_Y_SCALE
     ).astype(np.int64)

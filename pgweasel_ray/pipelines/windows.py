@@ -93,7 +93,7 @@ def events_user_sessions(sf_dir: str, salt_days: bool = False) -> Dataset:
             parts = ds.repartition(n_parts, keys=["user_id"], sort=False)
             return parts.map_batches(
                 _sessionize_block, batch_format="pandas", batch_size=None
-            )
+            ).sort("user_id")  # deterministic driver-hash order
         salted = ds.map_batches(
             _add_day, batch_format="pyarrow", zero_copy_batch=True
         ).repartition(n_parts, keys=["user_id", "_day"], sort=False)
@@ -102,7 +102,8 @@ def events_user_sessions(sf_dir: str, salt_days: bool = False) -> Dataset:
         ).materialize()
     from .dataprep import _keyed_blocks
 
-    return _keyed_blocks(partials, ["user_id"], _merge_day_partials)
+    return _keyed_blocks(partials, ["user_id"], _merge_day_partials
+                         ).sort("user_id")  # deterministic driver-hash order
 
 
 def events_user_sessions_salted(sf_dir: str) -> Dataset:
@@ -254,7 +255,7 @@ def events_by_segment(sf_dir: str) -> Dataset:
     )
     return grouped_count(
         joined.select_columns(["c_mktsegment"]), ["c_mktsegment"]
-    )
+    ).sort("c_mktsegment")  # deterministic driver-hash order
 
 
 # --- broadcast semi-join ------------------------------------------------------
@@ -300,7 +301,8 @@ def flagged_conv_turns(sf_dir: str) -> Dataset:
                 2, int(ray.cluster_resources().get("CPU", 8)) // 4
             ),
         )
-    return grouped_count(turns, ["conv_id"])
+    return grouped_count(turns, ["conv_id"]
+                         ).sort("conv_id")  # deterministic driver-hash order
 
 
 def _filter_conv_set(batch: pa.Table, conv_set_ref) -> pa.Table:
@@ -443,7 +445,8 @@ def events_asof_prior(sf_dir: str) -> Dataset:
     ).map_batches(
         _asof_types_only, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    return _keyed_blocks(ev, ["user_id"], _asof_block)
+    return _keyed_blocks(ev, ["user_id"], _asof_block
+                         ).sort("event_id")  # deterministic driver-hash order
 
 # --- bucketed range join -------------------------------------------------------
 
@@ -618,7 +621,7 @@ def conv_tool_transitions(sf_dir: str) -> Dataset:
     )
     return mid.repartition(1).map_batches(
         _sum_pairs_block, batch_format="pyarrow", batch_size=None
-    )
+    ).sort(["from_tool", "to_tool"])  # deterministic driver-hash order
 
 
 # --- PageRank over the tool-transition graph ----------------------------------

@@ -83,6 +83,81 @@ def fake_video(n_frames: int, height: int, width: int, seed: int = 0) -> bytes:
             + frames.tobytes())
 
 
+# --- pure-numpy real-format codecs (BMP, WAV/PCM16) ---------------------------
+# One REAL image and audio container each, decodable without PIL/soundfile
+# (absent from this sandbox), so the stages' real-format branch is testable:
+# uncompressed 24-bit bottom-up BI_RGB BMP and RIFF/WAVE PCM16. Encoders
+# exist for round-trip tests only.
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    bottom-up rows, BGR byte order, rows padded to 4 bytes)."""
+    h, w, c = arr.shape
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8")
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    body = rows.tobytes()
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    return header + dib + body
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP → (h, w, 3) uint8 RGB. Pure numpy;
+    raises NotImplementedError for any other BMP flavor (paletted,
+    compressed, top-down) so unexpected payloads fail loudly."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", data, 10)[0]
+    size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if size < 40 or bpp != 24 or comp != 0 or h <= 0:
+        raise NotImplementedError(
+            "only uncompressed 24-bit bottom-up BMP is supported"
+        )
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(data, dtype=np.uint8, offset=off,
+                         count=h * stride).reshape(h, stride)
+    return rows[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # unflip + RGB
+
+
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """1-D int16 samples → RIFF/WAVE PCM16 mono."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    body = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body)
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM16 → (sample_rate, flat int16 samples across channels).
+    Pure numpy chunk walk; raises NotImplementedError for non-PCM16."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, clen = data[pos:pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        if cid == b"fmt ":
+            afmt, _ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", data, pos + 8
+            )
+            if afmt != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV is supported")
+        elif cid == b"data":
+            samples = np.frombuffer(data, dtype="<i2", offset=pos + 8,
+                                    count=clen // 2)
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return int(rate), samples
+
+
 class VideoFrameSampleStage:
     """binary video → every k-th frame re-encoded as FAKEIMG rows
     (1 input row → ⌈n_frames/k⌉ output rows: the explode-shaped stage a
@@ -144,6 +219,9 @@ class ImageDecodeStage:
             px = np.frombuffer(data, dtype=np.uint8,
                                offset=len(IMG_MAGIC) + 5, count=h * w * c)
             return h, w, c, float(px.mean())
+        if data[:2] == b"BM":          # real format, pure-numpy path
+            arr = decode_bmp(data)
+            return arr.shape[0], arr.shape[1], 3, float(arr.mean())
         if self._pil is not None:  # pragma: no cover
             import io
 
@@ -216,6 +294,10 @@ class ImageStatsStage:
             px = np.frombuffer(data, dtype=np.uint8,
                                offset=len(IMG_MAGIC) + 5, count=h * w * c)
             return h, w, c, h * w * c, int(px.sum(dtype=np.int64))
+        if data[:2] == b"BM":          # real format, pure-numpy path
+            arr = decode_bmp(data)
+            return (arr.shape[0], arr.shape[1], 3, arr.size,
+                    int(arr.sum(dtype=np.int64)))
         if self._pil is not None:  # pragma: no cover
             import io
 
@@ -338,6 +420,10 @@ class AudioStatsStage:
                               offset=len(AUD_MAGIC) + 8, count=n
                               ).astype(np.int64)
             return rate, n, int(s.sum()), int((s * s).sum())
+        if data[:4] == b"RIFF":        # real format, pure-numpy path
+            rate, s = decode_wav(data)
+            s = s.astype(np.int64)
+            return rate, len(s), int(s.sum()), int((s * s).sum())
         if self._sf is not None:  # pragma: no cover
             import io
 
@@ -366,11 +452,14 @@ class AudioFrameStage:
         self.frame_len, self.audio_col = frame_len, audio_col
 
     def _frames(self, data: bytes) -> np.ndarray:
-        if data[: len(AUD_MAGIC)] != AUD_MAGIC:
+        if data[:4] == b"RIFF":        # real format, pure-numpy path
+            _rate, samples = decode_wav(data)
+        elif data[: len(AUD_MAGIC)] == AUD_MAGIC:
+            rate, n = struct.unpack_from("<II", data, len(AUD_MAGIC))
+            samples = np.frombuffer(data, dtype=np.int16,
+                                    offset=len(AUD_MAGIC) + 8, count=n)
+        else:
             raise NotImplementedError("real audio decode requires soundfile")
-        rate, n = struct.unpack_from("<II", data, len(AUD_MAGIC))
-        samples = np.frombuffer(data, dtype=np.int16,
-                                offset=len(AUD_MAGIC) + 8, count=n)
         usable = (len(samples) // self.frame_len) * self.frame_len
         if usable == 0:
             return np.zeros(0, dtype=np.float32)

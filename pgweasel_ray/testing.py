@@ -1,6 +1,14 @@
 """Result-comparison helpers shared by tests/ and scripts/check_correctness.py
 — a local replica of the driver's gate: schema (column names sorted),
-row count, and order-insensitive value equality."""
+row count, and value equality.
+
+The compare is ROW-ORDER-SENSITIVE by default (r4 lesson: the driver's
+value hash is taken over rows as returned, so an order-insensitive local
+✓ does not imply a driver ✓ — docs_pack_sequences failed exactly this
+way). Order-sensitive equality is strictly stronger than any driver hash,
+whether or not the driver canonicalizes row order, so local ✓ ⇒ driver ✓.
+Every queries() entry must therefore return a DETERMINISTICALLY ORDERED
+result and its oracle_sql() must carry a matching ORDER BY."""
 
 from __future__ import annotations
 
@@ -18,7 +26,7 @@ def to_df(result) -> pd.DataFrame:
     return result.to_pandas()  # ray Dataset
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
+def normalize(df: pd.DataFrame, sort_rows: bool = True) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
@@ -27,12 +35,29 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("bool")
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+    if sort_rows:
+        df = df.sort_values(list(df.columns))
+    return df.reset_index(drop=True)
 
 
-def compare(ray_df: pd.DataFrame, ora_df: pd.DataFrame) -> str:
-    """Returns "OK" or a mismatch description."""
-    a, b = normalize(ray_df), normalize(ora_df)
+def compare(ray_df: pd.DataFrame, ora_df: pd.DataFrame,
+            ordered: bool = True) -> str:
+    """Returns "OK" or a mismatch description. With ordered=True (default)
+    rows are compared AS RETURNED; an order-only divergence reports
+    "ROW ORDER MISMATCH" so the fix (a deterministic sort on both sides)
+    is obvious. ordered=False restores the legacy order-insensitive check
+    for results whose order is inherently unstable on both sides."""
+    if ordered:
+        verdict = _compare_frames(normalize(ray_df, sort_rows=False),
+                                  normalize(ora_df, sort_rows=False))
+        if verdict != "OK" and verdict.startswith("VALUE MISMATCH"):
+            if _compare_frames(normalize(ray_df), normalize(ora_df)) == "OK":
+                return f"ROW ORDER MISMATCH (values match unordered): {verdict}"
+        return verdict
+    return _compare_frames(normalize(ray_df), normalize(ora_df))
+
+
+def _compare_frames(a: pd.DataFrame, b: pd.DataFrame) -> str:
     if list(a.columns) != list(b.columns):
         return f"SCHEMA MISMATCH ray={list(a.columns)} oracle={list(b.columns)}"
     if len(a) != len(b):

@@ -53,7 +53,7 @@ def test_dedup_exact_crafted(crafted_dir):
 
 
 def test_dedup_minhash_removes_near_dups(crafted_dir):
-    got = sorted(dataprep.dedup_minhash(crafted_dir)["doc_id"])
+    got = sorted(to_df(dataprep.dedup_minhash_ds(crafted_dir))["doc_id"])
     assert 0 in got and 3 in got and 4 in got
     assert 1 not in got  # exact dup always caught
     assert 2 not in got  # one-word change shares most shingles → LSH-caught
@@ -124,12 +124,12 @@ def test_dedup_cluster_best_keeps_longest(tmp_path):
 
 
 def test_dedup_ngram_jaccard_verified(crafted_dir):
-    got = sorted(dataprep.dedup_ngram_jaccard(crafted_dir)["doc_id"])
+    got = sorted(to_df(dataprep.dedup_ngram_jaccard_ds(crafted_dir))["doc_id"])
     assert got == [0, 3, 4]  # 1 exact dup (J=1), 2 one-word change (J≥0.7)
 
 
 def test_dedup_simhash_removes_near_dups(crafted_dir):
-    got = sorted(dataprep.dedup_simhash(crafted_dir)["doc_id"])
+    got = sorted(to_df(dataprep.dedup_simhash_ds(crafted_dir))["doc_id"])
     assert 1 not in got and 2 not in got
     assert 0 in got and 3 in got and 4 in got
 
@@ -201,7 +201,7 @@ def test_ann_ivf_partial_probe_sane(sf_dir):
 
 
 def test_embed_neardup_keeps_all_when_no_dups(sf_dir):
-    got = dataprep.embed_neardup(sf_dir)
+    got = to_df(dataprep.embed_neardup_ds(sf_dir))
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     assert len(got) == t.num_rows  # random embeddings: no cosine > 0.999
 
@@ -223,7 +223,7 @@ def test_embed_neardup_crafted(tmp_path):
         }
     )
     pq.write_table(t, tmp_path / "embeddings.parquet")
-    got = sorted(dataprep.embed_neardup(str(tmp_path))["vec_id"])
+    got = sorted(to_df(dataprep.embed_neardup_ds(str(tmp_path)))["vec_id"])
     assert got == [0, 2]  # 1 is a scaled copy of 0 → removed
 
 
@@ -250,7 +250,7 @@ def test_embed_neardup_hot_bucket_chunked(tmp_path, monkeypatch):
     )
     pq.write_table(t, tmp_path / "embeddings.parquet")
     monkeypatch.setattr(dataprep, "EMB_ND_CHUNK_BUDGET", 64)  # force chunks
-    got = sorted(dataprep.embed_neardup(str(tmp_path))["vec_id"])
+    got = sorted(to_df(dataprep.embed_neardup_ds(str(tmp_path)))["vec_id"])
 
     # independent replay: ND-plane buckets + all-pairs cosine
     m64 = mat.astype(np.float64)
@@ -275,7 +275,7 @@ def test_semdedup_matches_local_replay(sf_dir):
     smaller-id domination. Unlike embed_neardup (threshold far above the
     fixture's similarity range), the SemDeDup threshold sits INSIDE it, so
     this exercises a non-empty dominated set end-to-end."""
-    got = sorted(dataprep.docs_semdedup(sf_dir)["vec_id"])
+    got = sorted(to_df(dataprep.docs_semdedup_ds(sf_dir))["vec_id"])
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
@@ -317,7 +317,7 @@ def test_semdedup_crafted_cross_cluster(tmp_path):
         }
     )
     pq.write_table(t, tmp_path / "embeddings.parquet")
-    got = sorted(dataprep.docs_semdedup(str(tmp_path))["vec_id"])
+    got = sorted(to_df(dataprep.docs_semdedup_ds(str(tmp_path)))["vec_id"])
     assert 1 not in got  # scaled copy of 0: same cluster, cosine 1 → dropped
     assert 0 in got
 
@@ -449,7 +449,7 @@ def test_corpus_prep_ds_sink_matches_collected(sf_dir, tmp_path):
             f"SELECT doc_id FROM read_parquet('{tmp_path}/survivors/*.parquet')"
         ).df()["doc_id"]
     )
-    collected = list(dataprep.corpus_prep(sf_dir)["doc_id"])
+    collected = sorted(to_df(dataprep.corpus_prep_ds(sf_dir))["doc_id"])
     assert sunk == collected
     assert len(sunk) > 0
 

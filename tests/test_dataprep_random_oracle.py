@@ -73,16 +73,21 @@ def oracle_con(random_dir):
 def _assert_matches_oracle(random_dir, oracle_con, name, fn):
     from pgweasel_ray import oracle_queries
 
+    summary = oracle_queries._survivor_summary_sql  # gate shape (r5)
     sql = {
-        "dedup_minhash": oracle_queries._dedup_minhash_sql,
-        "dedup_ngram_jaccard": oracle_queries._dedup_jaccard_sql,
-        "dedup_simhash": oracle_queries._dedup_simhash_sql,
+        "dedup_minhash":
+            lambda: summary(oracle_queries._dedup_minhash_sql(), "doc_id"),
+        "dedup_ngram_jaccard":
+            lambda: summary(oracle_queries._dedup_jaccard_sql(), "doc_id"),
+        "dedup_simhash":
+            lambda: summary(oracle_queries._dedup_simhash_sql(), "doc_id"),
         "docs_lang_id": oracle_queries._lang_id_sql,
         "docs_vocab_topk": oracle_queries._vocab_topk_sql,
         "docs_decontaminate": oracle_queries._decontaminate_sql,
         "docs_repetition": oracle_queries._repetition_sql,
         "docs_sample_hash": oracle_queries._sample_hash_sql,
-        "corpus_prep": oracle_queries._corpus_prep_sql,
+        "corpus_prep":
+            lambda: summary(oracle_queries._corpus_prep_sql(), "doc_id"),
         "docs_length_quantiles": oracle_queries._length_quantiles_sql,
         "docs_normalize": oracle_queries._normalize_sql,
         "dedup_chunks": oracle_queries._dedup_chunks_sql,

@@ -8,6 +8,7 @@ import pytest
 
 from pgweasel_ray import hashing as H
 from pgweasel_ray.pipelines import dataprep, export
+from pgweasel_ray.testing import to_df
 
 
 @pytest.fixture(scope="module")
@@ -28,7 +29,7 @@ def _shard_tables(out):
 
 def test_export_survivors_match_corpus_prep(exported):
     sf_dir, out, _ = exported
-    want = set(dataprep.corpus_prep(sf_dir)["doc_id"])
+    want = set(to_df(dataprep.corpus_prep_ds(sf_dir))["doc_id"])
     got = set()
     for t in _shard_tables(out).values():
         got.update(t["doc_id"].to_pylist())

@@ -17,30 +17,31 @@ DRIVER_WINDOW = 50  # the driver's correctness gate checks this many entries
 # driver-green before round 4 (VERDICT r03 item #1), changed this round,
 # or new this round.
 MUST_VERIFY = {
-    # failed r01, rebuilt, never re-checked
-    "ann_lsh_topk", "ann_ivf_topk", "embed_neardup",
-    # added r03, never inside the window
-    "corpus_export_counts", "dedup_chunks", "docs_distinct_hll",
-    "docs_gopher_filter", "docs_lm_surprisal", "docs_mixture_sample",
-    "docs_normalize", "docs_pack_sequences", "docs_repetition",
-    "docs_select_budget", "docs_semdedup", "docs_shuffle_order",
-    "docs_strip_boilerplate", "docs_tfidf_topk", "docs_topk_per_source",
-    # implementation touched in round 4
-    "dedup_incremental", "dedup_ngram_jaccard", "events_user_sessions",
-    "routed_counts",
-    # new in round 4
-    "multimodal_image_stats", "docs_line_dedup", "docs_minhash_sim_topk",
-    "docs_contamination_overlap", "docs_heavy_hitters_cms",
-    "docs_source_stats", "events_user_sessions_salted",
-    "events_range_join", "docs_stratified_sample", "embed_label_centroids",
-    "multimodal_audio_stats", "events_value_hist_quantiles",
-    "docs_weighted_sample", "docs_inverted_postings",
-    "docs_decontaminate_bloom", "docs_source_distinct_hll",
-    "multimodal_video_frames", "docs_bigram_surprisal",
-    "severity_tool_rollup", "conv_tool_pagerank",
-    "docs_kmv_distinct", "events_value_linfit", "events_late_arrivals",
-    "docs_char_entropy", "events_value_corr", "docs_pmi_topk",
-    "embed_kmeans_centroids", "events_value_bins",
+    # never driver-green across r01-r04 (ADVICE r4 / VERDICT r4 item #2)
+    "conv_tool_hits", "events_value_mad", "events_daily_top_types",
+    "docs_pack_sequences",
+    # new in round 5
+    "dedup_exact_substr",
+    # pipeline/oracle touched in round 5 (deterministic-order fix: final
+    # sort + matching oracle ORDER BY; multimodal pool sizing; guards)
+    "dedup_chunks", "docs_strip_boilerplate", "docs_tfidf_topk",
+    "dedup_incremental", "events_user_sessions",
+    "events_user_sessions_salted", "multimodal_image_stats",
+    "multimodal_audio_stats", "multimodal_video_frames", "docs_line_dedup",
+    "docs_source_stats", "embed_label_centroids", "severity_tool_rollup",
+    "docs_kmv_distinct", "dedup_exact", "dedup_minhash",
+    "dedup_ngram_jaccard", "dedup_simhash", "docs_semdedup",
+    "embed_neardup", "events_asof_prior",
+    "errors_by_severity", "errors_window", "slow_list", "system",
+    "connections_by_host",
+    "errors_by_sqlstate", "sessions", "conv_first_error",
+    "enriched_severity_counts", "events_value_range",
+    "events_props_k_sum", "conv_tool_transitions", "events_by_segment",
+    "flagged_conv_turns", "events_value_linfit",
+    # last driver-green in r02 (longest unverified)
+    "ann_cosine_topk", "docs_lang_id", "docs_fingerprint", "docs_scrub",
+    "corpus_prep", "docs_decontaminate", "docs_vocab_topk",
+    "docs_sample_hash", "docs_length_quantiles",
 }
 
 
