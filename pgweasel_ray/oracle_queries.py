@@ -439,11 +439,12 @@ def _shuffle_order_sql() -> str:
 SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) - 1 AS pos FROM k"""
 
 
-def _exsub_sql() -> str:
-    """ExactSubstr duplicate spans replayed literally: overlapping L-token
-    shingles AS STRINGS (the pipeline's 128-bit polynomial hash stands in
-    for string identity — the dedup_exact 2^-64 equivalence), keep-first by
-    min packed id, then the same gaps-and-islands union per doc."""
+def _exsub_cte_prefix() -> str:
+    """Shared toks → overlapping shingles → non-canonical duplicate
+    positions prefix for the ExactSubstr family (dedup_exact_substr,
+    docs_dup_span_strip, docs_novelty): shingles AS STRINGS (the
+    pipeline's 128-bit polynomial hash stands in for string identity —
+    the dedup_exact 2^-64 equivalence), keep-first by min packed id."""
     L = dataprep.EXSUB_L
     B = 1 << dataprep.EXSUB_IDX_BITS
     return rf"""WITH toks AS (
@@ -459,7 +460,14 @@ def _exsub_sql() -> str:
   FROM sh
 ), dup AS (
   SELECT doc_id, p FROM k WHERE cnt > 1 AND doc_id * {B} + p <> keep
-), isl AS (
+)"""
+
+
+def _exsub_sql() -> str:
+    """ExactSubstr duplicate spans: the shared dup-position prefix, then
+    the same gaps-and-islands union per doc as the pipeline."""
+    L = dataprep.EXSUB_L
+    return rf"""{_exsub_cte_prefix()}, isl AS (
   SELECT doc_id, p,
          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
                   <= {L} THEN 0 ELSE 1 END AS brk
@@ -476,6 +484,65 @@ def _exsub_sql() -> str:
 SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
        sum(span)::BIGINT AS dup_tokens
 FROM spans GROUP BY doc_id ORDER BY doc_id"""
+
+
+def _dup_span_strip_sql() -> str:
+    """ExactSubstr APPLIED: per-doc island spans, token coverage test,
+    survivors re-joined in order — the literal replay of
+    docs_dup_span_strip's diff/cumsum mask."""
+    L = dataprep.EXSUB_L
+    return rf"""{_exsub_cte_prefix()}, isl AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                  <= {L} THEN 0 ELSE 1 END AS brk
+  FROM dup
+), grp AS (
+  SELECT doc_id, p,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, min(p) AS s, max(p) + {L} AS e
+  FROM grp GROUP BY doc_id, island
+), tok_rows AS (
+  SELECT doc_id, i - 1 AS idx, ws[i] AS w
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) u
+), covered AS (
+  SELECT DISTINCT t.doc_id, t.idx
+  FROM tok_rows t JOIN spans s
+    ON t.doc_id = s.doc_id AND t.idx >= s.s AND t.idx < s.e
+), agg AS (
+  SELECT t.doc_id,
+         count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN c.idx IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_removed,
+         coalesce(string_agg(CASE WHEN c.idx IS NULL THEN t.w END,
+                             ' ' ORDER BY t.idx), '') AS clean_text
+  FROM tok_rows t LEFT JOIN covered c
+    ON t.doc_id = c.doc_id AND t.idx = c.idx
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id"""
+
+
+def _novelty_sql() -> str:
+    """Per-doc novel-window fraction (integer permille), from the shared
+    dup-position prefix: window counts per doc minus non-canonical
+    duplicate windows."""
+    return rf"""{_exsub_cte_prefix()}, w AS (
+  SELECT doc_id, count(*)::BIGINT AS n_windows FROM sh GROUP BY doc_id
+), dw AS (
+  SELECT doc_id, count(*)::BIGINT AS dup_windows FROM dup GROUP BY doc_id
+)
+SELECT w.doc_id, w.n_windows,
+       coalesce(dw.dup_windows, 0)::BIGINT AS dup_windows,
+       (1000 * (w.n_windows - coalesce(dw.dup_windows, 0))
+        // w.n_windows)::BIGINT AS novelty_permille
+FROM w LEFT JOIN dw USING (doc_id) ORDER BY w.doc_id"""
 
 
 def _pack_sequences_sql() -> str:
@@ -1663,6 +1730,8 @@ FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
         "docs_normalize": _normalize_sql(),
         "dedup_chunks": _dedup_chunks_sql(),
         "dedup_exact_substr": _exsub_sql(),
+        "docs_dup_span_strip": _dup_span_strip_sql(),
+        "docs_novelty": _novelty_sql(),
         "docs_strip_boilerplate": _strip_boilerplate_sql(),
         "docs_lm_surprisal": _lm_surprisal_sql(),
         "docs_tfidf_topk": _tfidf_topk_sql(),

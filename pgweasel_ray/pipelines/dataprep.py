@@ -2789,6 +2789,176 @@ def _exsub_span_block(batch: pa.Table) -> pa.Table:
     )
 
 
+def _exsub_interval_lists_block(batch: pa.Table) -> pa.Table:
+    """Per-doc merged duplicate intervals for one doc_id-exclusive
+    partition, packed into ONE binary cell per doc (interleaved int64
+    starts/ends little-endian) so the downstream hash join ships a single
+    fixed-typed column instead of a list type."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "spans": pa.array([], type=pa.binary())}
+        )
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+    p = batch["p"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((p, doc))
+    doc, p = doc[order], p[order]
+    isl = np.r_[True, (doc[1:] != doc[:-1]) | (p[1:] - p[:-1] > EXSUB_L)]
+    st = np.flatnonzero(isl)
+    last = np.r_[st[1:] - 1, len(p) - 1]
+    s, e, idoc = p[st], p[last] + EXSUB_L, doc[st]
+    dst = np.flatnonzero(np.r_[True, idoc[1:] != idoc[:-1]])
+    dend = np.r_[dst[1:], len(idoc)]
+    payloads = [
+        np.column_stack([s[a:b], e[a:b]]).astype("<i8").tobytes()
+        for a, b in zip(dst, dend)
+    ]
+    return pa.table(
+        {"doc_id": pa.array(idoc[dst], type=pa.int64()),
+         "spans": pa.array(payloads, type=pa.binary())}
+    )
+
+
+_STRIP_SPANS_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+     ("n_removed", pa.int64()), ("clean_text", pa.string())]
+)
+
+
+def _strip_spans_batch(batch: pa.Table) -> pa.Table:
+    """Remove the tokens covered by each doc's duplicate intervals and
+    reassemble the survivors in order (single-space joined — the same
+    whitespace normalization as the chunk pipelines). Coverage mask is one
+    flat diff/cumsum pass over the batch's concatenated token axis."""
+    import polars as pl
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = pc.split_pattern_regex(batch["text"], r"[\t\n\f\r ]+")
+    # split of "" yields [""] and leading/trailing ws yields empty strings:
+    # drop empties to match the extract_all('\S+') tokenizer
+    flat_all = pc.list_flatten(toks)
+    counts_all = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    keepmask = pc.not_equal(flat_all, "").to_numpy(zero_copy_only=False)
+    flat = np.asarray(flat_all.to_pandas(), dtype=object)[keepmask]
+    # recount per doc after dropping empties
+    docrep = np.repeat(np.arange(len(ids)), counts_all)[keepmask]
+    counts = np.bincount(docrep, minlength=len(ids)).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+    diff = np.zeros(total + 1, dtype=np.int64)
+    spans_col = batch["spans"].to_pylist()
+    for j, payload in enumerate(spans_col):
+        if payload is None:
+            continue
+        se = np.frombuffer(payload, dtype="<i8").reshape(-1, 2)
+        s = np.minimum(se[:, 0] + starts[j], starts[j] + counts[j])
+        e = np.minimum(se[:, 1] + starts[j], starts[j] + counts[j])
+        np.add.at(diff, s, 1)
+        np.add.at(diff, e, -1)
+    covered = np.cumsum(diff[:-1]) > 0
+    kept = ~covered
+    df = pl.DataFrame(
+        {"doc": docrep[kept], "w": pl.Series(flat[kept], dtype=pl.Utf8)}
+    )
+    agg = df.group_by("doc").agg(pl.col("w").str.join(" ").alias("ct"))
+    ct = np.full(len(ids), "", dtype=object)
+    ct[agg["doc"].to_numpy()] = agg["ct"].to_numpy()
+    n_removed = np.bincount(
+        docrep[covered], minlength=len(ids)
+    ).astype(np.int64)
+    return pa.table(
+        {"doc_id": batch["doc_id"],
+         "n_tokens": pa.array(counts, type=pa.int64()),
+         "n_removed": pa.array(n_removed, type=pa.int64()),
+         "clean_text": pa.array(ct, type=pa.string())}
+    ).cast(_STRIP_SPANS_SCHEMA)
+
+
+def docs_dup_span_strip(sf_dir: str) -> Dataset:
+    """ExactSubstr APPLIED: remove every duplicate span found by
+    dedup_exact_substr from the document text (the canonical first
+    occurrence survives) and return (doc_id, n_tokens, n_removed,
+    clean_text) for EVERY doc — the transform Lee et al. 2021 run on
+    training corpora, not just the audit report.
+
+    Scale shape: the span discovery is dedup_exact_substr's two
+    bucket-exclusive 24-byte-row exchanges; spans pack into one binary
+    cell per affected doc (bounded by doc length); a capped hash join
+    attaches them to the text; the strip itself is one vectorized
+    diff/cumsum coverage pass per batch. Text crosses the wire exactly
+    once (the join), as any text-rewriting transform requires."""
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _exsub_shingle_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    dups = _keyed_blocks(rows, ["h1", "h2"], _exsub_dup_block).materialize()
+    spans = _keyed_blocks(dups, ["doc_id"], _exsub_interval_lists_block)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = _docs(sf_dir, ["doc_id"]).count()  # parquet metadata, no scan
+    joined = docs.join(
+        spans.materialize(), join_type="left_outer", on=("doc_id",),
+        num_partitions=_join_partitions(n_docs),
+    )
+    return joined.map_batches(
+        _strip_spans_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")  # deterministic driver-hash order
+
+
+def docs_novelty(sf_dir: str) -> Dataset:
+    """Per-document NOVELTY score: the fraction of a doc's EXSUB_L-token
+    windows that are corpus-novel (not a non-canonical duplicate of any
+    other window), in exact integer permille — the selection signal a
+    quality-weighted sampler uses to prefer fresh text over boilerplate
+    (complement of dedup_exact_substr's span report, before span union).
+    Docs shorter than EXSUB_L tokens have no windows and are excluded.
+
+    Scale shape: same two bucket-exclusive exchanges as
+    dedup_exact_substr; both per-doc aggregations are pre-aggregated
+    grouped counts; the final join is over the bounded docs-with-windows
+    table."""
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _exsub_shingle_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    windows = rows.map_batches(
+        _exsub_window_doc, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("doc_id").aggregate(Count(alias_name="n_windows"))
+    dups = _keyed_blocks(rows, ["h1", "h2"], _exsub_dup_block).materialize()
+    dw = dups.groupby("doc_id").aggregate(Count(alias_name="dup_windows"))
+    n = windows.count()
+    joined = windows.join(
+        dw, join_type="left_outer", on=("doc_id",),
+        num_partitions=_join_partitions(max(1, n)),
+    )
+    return joined.map_batches(
+        _novelty_finalize, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")  # deterministic driver-hash order
+
+
+def _exsub_window_doc(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {"doc_id": pa.array(
+            batch["packed"].to_numpy(zero_copy_only=False)
+            >> EXSUB_IDX_BITS, type=pa.int64())}
+    )
+
+
+def _novelty_finalize(batch: pa.Table) -> pa.Table:
+    nw = batch["n_windows"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dw = np.nan_to_num(
+        batch["dup_windows"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+    ).astype(np.int64)
+    nov = 1000 * (nw - dw) // nw
+    return pa.table(
+        {"doc_id": pc.cast(batch["doc_id"], pa.int64()),
+         "n_windows": pa.array(nw, type=pa.int64()),
+         "dup_windows": pa.array(dw, type=pa.int64()),
+         "novelty_permille": pa.array(nov, type=pa.int64())}
+    )
+
+
 def dedup_exact_substr(sf_dir: str) -> Dataset:
     """True ExactSubstr duplicate-SPAN detection (Lee et al. 2021,
     arXiv:2107.06499): for every document, the maximal spans of >= EXSUB_L

@@ -15,8 +15,8 @@ CORRECTNESS_r*.json ledger.
 
 Round-5 window: slots 1-4 are the never-driver-green set (conv_tool_hits,
 events_value_mad, events_daily_top_types per ADVICE r4; docs_pack_sequences
-had rows+schema green but hash red in r04), slot 5 the new ExactSubstr
-operator, then every query whose OUTPUT SHAPE changed this round (the 6
+had rows+schema green but hash red in r04), slots 5-7 the new ExactSubstr
+family (span report, span strip, novelty score), then every query whose OUTPUT SHAPE changed this round (the 6
 bounded survivor summaries) plus the shuffle-ending deterministic-order
 fixes, then the nine queries last driver-green in r02. WINDOW-FULL
 EXCEPTION (noted per ADVICE r4): more queries were touched this round than
@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_sequences": dataprep.docs_pack_sequences,
         # --- tier A: new in round 5 ---------------------------------------
         "dedup_exact_substr": dataprep.dedup_exact_substr,
+        "docs_dup_span_strip": dataprep.docs_dup_span_strip,
+        "docs_novelty": dataprep.docs_novelty,
         # --- tier B: pipeline/oracle touched in round 5 --------------------
         # (deterministic-order fix: final sort + matching oracle ORDER BY)
         "dedup_chunks": dataprep.dedup_chunks,
@@ -76,10 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "slow_list": core.slow_list,
         "system": core.system,
         "connections_by_host": core.connections_by_host,
-        "errors_by_sqlstate": core.errors_by_sqlstate,
         "sessions": core.sessions,
         "conv_first_error": core.conv_first_error,
-        "enriched_severity_counts": core.enriched_severity_counts,
         "events_value_range": events.events_value_range,
         "events_props_k_sum": events.events_props_k_sum,
         "conv_tool_transitions": windows.conv_tool_transitions,
@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order-only fixes whose shared code path is verified in-window
         # by connections_by_host / events_value_range (window is full;
         # exception noted per ADVICE r4):
+        "errors_by_sqlstate": core.errors_by_sqlstate,
+        "enriched_severity_counts": core.enriched_severity_counts,
         "connections_by_user": core.connections_by_user,
         "connections_by_db": core.connections_by_db,
         "connections_by_appname": core.connections_by_appname,

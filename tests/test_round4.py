@@ -21,7 +21,7 @@ MUST_VERIFY = {
     "conv_tool_hits", "events_value_mad", "events_daily_top_types",
     "docs_pack_sequences",
     # new in round 5
-    "dedup_exact_substr",
+    "dedup_exact_substr", "docs_dup_span_strip", "docs_novelty",
     # pipeline/oracle touched in round 5 (deterministic-order fix: final
     # sort + matching oracle ORDER BY; multimodal pool sizing; guards)
     "dedup_chunks", "docs_strip_boilerplate", "docs_tfidf_topk",
@@ -34,8 +34,7 @@ MUST_VERIFY = {
     "embed_neardup", "events_asof_prior",
     "errors_by_severity", "errors_window", "slow_list", "system",
     "connections_by_host",
-    "errors_by_sqlstate", "sessions", "conv_first_error",
-    "enriched_severity_counts", "events_value_range",
+    "sessions", "conv_first_error", "events_value_range",
     "events_props_k_sum", "conv_tool_transitions", "events_by_segment",
     "flagged_conv_turns", "events_value_linfit",
     # last driver-green in r02 (longest unverified)

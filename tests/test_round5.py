@@ -153,6 +153,57 @@ def test_exsub_within_doc_repeat_flags_second_occurrence(ray_session):
     assert out["dup_tokens"].tolist() == [dp.EXSUB_L]
 
 
+def test_dup_span_strip_removes_planted_span(ray_session):
+    """The non-canonical copy of a planted span is stripped from doc 1;
+    the canonical copy in doc 0 survives untouched."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pgweasel_ray.pipelines import dataprep as dp
+
+    span_toks = [f"tok{i}" for i in range(dp.EXSUB_L + 5)]
+    uniq_a = [f"aa{i}" for i in range(30)]
+    uniq_b = [f"bb{i}" for i in range(30)]
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array([" ".join(uniq_a + span_toks),
+                          " ".join(uniq_b + span_toks)]),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, f"{d}/documents.parquet")
+        out = dp.docs_dup_span_strip(d).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_removed"] == 0
+    assert out.loc[0, "clean_text"] == " ".join(uniq_a + span_toks)
+    assert out.loc[1, "n_removed"] == dp.EXSUB_L + 5
+    assert out.loc[1, "clean_text"] == " ".join(uniq_b)
+    assert out.loc[1, "n_tokens"] == 30 + dp.EXSUB_L + 5
+
+
+def test_novelty_permille_bounds(ray_session):
+    """A doc sharing every window scores 0; an all-unique doc scores
+    1000; sub-window docs are excluded."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pgweasel_ray.pipelines import dataprep as dp
+
+    span = " ".join(f"s{i}" for i in range(dp.EXSUB_L))
+    uniq = " ".join(f"u{i}" for i in range(dp.EXSUB_L + 3))
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([span, span, uniq, "too short"]),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, f"{d}/documents.parquet")
+        out = dp.docs_novelty(d).to_pandas().set_index("doc_id")
+    assert 3 not in out.index                      # sub-window doc excluded
+    assert out.loc[0, "novelty_permille"] == 1000  # canonical copy
+    assert out.loc[1, "novelty_permille"] == 0     # duplicate copy
+    assert out.loc[2, "novelty_permille"] == 1000  # unique windows
+
+
 def test_exsub_shingle_hash_is_position_sensitive():
     """("ab","c") vs ("c","ab") must hash differently — the polynomial is
     positional, matching string-identity of the joined shingle."""
