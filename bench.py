@@ -129,6 +129,10 @@ def run_bench() -> dict:
                          ("docs_vocab_topk", dataprep.docs_vocab_topk),
                          ("dedup_chunks", dataprep.dedup_chunks),
                          ("dedup_exact_substr", dataprep.dedup_exact_substr),
+                         ("docs_dup_span_strip",
+                          dataprep.docs_dup_span_strip),
+                         ("docs_novelty", dataprep.docs_novelty),
+                         ("docs_winnowing", dataprep.docs_winnowing),
                          ("docs_pack_sequences",
                           dataprep.docs_pack_sequences),
                          ("dedup_components", dataprep.dedup_components),
@@ -183,6 +187,16 @@ def run_bench() -> dict:
         timed_e2e("conv_tool_transitions",
                   windows.conv_tool_transitions, SF_DIR)
         timed_e2e("conv_tool_pagerank", windows.conv_tool_pagerank, SF_DIR)
+        timed_e2e("conv_response_latency",
+                  windows.conv_response_latency, SF_DIR)
+        timed_e2e("conv_role_balance", windows.conv_role_balance, SF_DIR)
+        timed_e2e("conv_context_growth",
+                  windows.conv_context_growth, SF_DIR)
+        timed_e2e("conv_truncate_context",
+                  windows.conv_truncate_context, SF_DIR)
+        timed_e2e("conv_error_bursts", core_mod.conv_error_bursts, SF_DIR)
+        timed_e2e("conv_session_splits",
+                  windows.conv_session_splits, SF_DIR)
         timed_e2e("events_late_arrivals",
                   events.events_late_arrivals, SF_DIR)
         timed_e2e("events_value_linfit",

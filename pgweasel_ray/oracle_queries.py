@@ -439,6 +439,47 @@ def _shuffle_order_sql() -> str:
 SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) - 1 AS pos FROM k"""
 
 
+def _winnowing_sql() -> str:
+    """Winnowing selection replayed literally: the shared gram-hash CTE
+    (hashing.sql_gram_hashes_cte — same polynomial as the kernel), one row
+    per (doc, window), arg_min over the identical selection key
+    h * 2^21 - pos (rightmost-min tie rule), distinct-fingerprint
+    aggregation. greatest(m - W + 1, 1) gives short docs their single
+    whole-doc window exactly like the kernel's reduceat path."""
+    W = dataprep.WINNOW_W
+    S = 1 << dataprep._WINNOW_POS_BITS
+    return f"""WITH {H.sql_gram_hashes_cte()}, posx AS (
+  SELECT doc_id, i - 1 AS pos, hs[i] AS h
+  FROM gh, LATERAL (SELECT unnest(generate_series(1, len(hs))) AS i) u
+), meta AS (
+  SELECT doc_id, len(hs) AS m FROM gh
+), win AS (
+  SELECT doc_id, p - 1 AS p
+  FROM meta, LATERAL (
+    SELECT unnest(generate_series(1, greatest(m - {W} + 1, 1))) AS p) u
+), sel AS (
+  SELECT w.doc_id, w.p,
+         arg_min(o.pos, o.h * {S} - o.pos) AS fp_pos,
+         arg_min(o.h, o.h * {S} - o.pos) AS fp_h
+  FROM win w JOIN posx o
+    ON o.doc_id = w.doc_id AND o.pos >= w.p AND o.pos < w.p + {W}
+  GROUP BY w.doc_id, w.p
+), fp AS (
+  SELECT DISTINCT doc_id, fp_pos, fp_h FROM sel
+), fph AS (
+  SELECT DISTINCT doc_id, fp_h FROM fp
+), a AS (
+  SELECT doc_id, count(*)::BIGINT AS n_fp FROM fp GROUP BY doc_id
+), b AS (
+  SELECT doc_id, count(*)::BIGINT AS n_distinct_fp,
+         bit_xor(fp_h)::BIGINT AS fp_xor
+  FROM fph GROUP BY doc_id
+)
+SELECT m.doc_id, m.m::BIGINT AS n_grams, a.n_fp, b.n_distinct_fp, b.fp_xor
+FROM meta m JOIN a USING (doc_id) JOIN b USING (doc_id)
+ORDER BY doc_id"""
+
+
 def _exsub_cte_prefix() -> str:
     """Shared toks → overlapping shingles → non-canonical duplicate
     positions prefix for the ExactSubstr family (dedup_exact_substr,
@@ -1732,6 +1773,7 @@ FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
         "dedup_exact_substr": _exsub_sql(),
         "docs_dup_span_strip": _dup_span_strip_sql(),
         "docs_novelty": _novelty_sql(),
+        "docs_winnowing": _winnowing_sql(),
         "docs_strip_boilerplate": _strip_boilerplate_sql(),
         "docs_lm_surprisal": _lm_surprisal_sql(),
         "docs_tfidf_topk": _tfidf_topk_sql(),
@@ -1752,6 +1794,86 @@ FROM parsed GROUP BY ROLLUP(severity, tool)
 ORDER BY severity, tool""",
         "conv_tool_pagerank": _tool_pagerank_sql(glob),
         "conv_tool_hits": _tool_hits_sql(glob),
+        # integer-µs latency partials: count/sum/min/max are all exact
+        # int64, so pipeline-vs-oracle parity is bit-identical
+        "conv_response_latency": f"""
+WITH t AS (
+  SELECT conv_id, role, tool, epoch_us(ts) AS ts_us,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_role,
+         lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_ts
+  FROM read_parquet('{glob}')
+)
+SELECT tool, count(*)::BIGINT AS n_resp,
+       sum(ts_us - prev_ts)::BIGINT AS sum_lat_us,
+       min(ts_us - prev_ts)::BIGINT AS min_lat_us,
+       max(ts_us - prev_ts)::BIGINT AS max_lat_us
+FROM t WHERE prev_role = 'user' AND role = 'assistant'
+GROUP BY tool ORDER BY tool""",
+        "conv_role_balance": f"""
+SELECT role, count(DISTINCT conv_id)::BIGINT AS n_convs,
+       count(*)::BIGINT AS n_turns,
+       sum(length(text))::BIGINT AS sum_chars,
+       max(length(text))::BIGINT AS max_chars
+FROM read_parquet('{glob}')
+GROUP BY role ORDER BY role""",
+        "conv_context_growth": f"""
+SELECT conv_id, turn_idx::BIGINT AS turn_idx,
+       length(text)::BIGINT AS n_chars,
+       sum(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS UNBOUNDED PRECEDING)::BIGINT
+         AS cum_chars
+FROM read_parquet('{glob}')
+ORDER BY conv_id, turn_idx""",
+        # longest suffix fitting the token budget == rows whose
+        # from-this-turn-to-end running total is <= budget
+        "conv_truncate_context": rf"""
+WITH t AS (
+  SELECT conv_id, turn_idx,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS toks
+  FROM read_parquet('{glob}')
+), s AS (
+  SELECT conv_id, turn_idx, toks,
+         sum(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                         ROWS UNBOUNDED PRECEDING) AS suffix_total
+  FROM t
+)
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN suffix_total <= {windows_mod.CTX_BUDGET_TOKENS}
+                THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN suffix_total <= {windows_mod.CTX_BUDGET_TOKENS}
+                THEN toks ELSE 0 END)::BIGINT AS kept_tokens,
+       coalesce(min(CASE WHEN suffix_total <= {windows_mod.CTX_BUDGET_TOKENS}
+                         THEN turn_idx END), -1)::BIGINT AS first_kept_turn
+FROM s GROUP BY conv_id ORDER BY conv_id""",
+        "conv_session_splits": f"""
+WITH t AS (
+  SELECT conv_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id
+                                                ORDER BY turn_idx) AS gap
+  FROM read_parquet('{glob}')
+)
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       (1 + sum(CASE WHEN gap > {windows_mod.CONV_SPLIT_GAP_US}
+                     THEN 1 ELSE 0 END))::BIGINT AS n_sessions,
+       coalesce(max(gap), -1)::BIGINT AS max_gap_us,
+       (max(ts_us) - min(ts_us))::BIGINT AS span_us
+FROM t GROUP BY conv_id ORDER BY conv_id""",
+        # gaps-and-islands: grp = turn_idx - row_number() is constant
+        # exactly across turn_idx-consecutive error runs
+        "conv_error_bursts": f"""{cte}
+, e AS (
+  SELECT conv_id, turn_idx,
+         turn_idx - row_number() OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS grp
+  FROM parsed WHERE severity_rank >= {core.ERROR_RANK}
+), runs AS (
+  SELECT conv_id, count(*) AS run_len FROM e GROUP BY conv_id, grp
+)
+SELECT conv_id, max(run_len)::BIGINT AS max_run,
+       sum(run_len)::BIGINT AS n_error_turns
+FROM runs GROUP BY conv_id ORDER BY conv_id""",
         # robust stats: the same pct·(n−1)//100 selection rule as the
         # quantile family, applied twice (value, then |value − median|)
         "events_value_mad": f"""

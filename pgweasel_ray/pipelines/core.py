@@ -632,3 +632,69 @@ def severity_tool_rollup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["severity", "tool"]).reset_index(drop=True)[
         ["severity", "tool", "cnt"]
     ]
+
+
+# --- error-burst detection (gaps-and-islands over the parsed stream) ----------
+
+_BURST_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("max_run", pa.int64()),
+    ("n_error_turns", pa.int64()),
+])
+
+
+def _burst_block(batch: pa.Table) -> pa.Table:
+    """Run-length stats for one conv-exclusive partition of error turns.
+    A "run" is a maximal set of error-or-worse turns with CONSECUTIVE
+    turn_idx values (turn_idx arithmetic, so the definition is identical
+    on the SQL side: grp = turn_idx - row_number()). Fully vectorized:
+    lexsort, boundary diff, reduceat."""
+    import numpy as np
+
+    if batch.num_rows == 0:
+        return _BURST_SCHEMA.empty_table()
+    conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+    turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((turn, conv))
+    conv, turn = conv[order], turn[order]
+    new_run = np.concatenate(
+        ([True], (conv[1:] != conv[:-1]) | (turn[1:] != turn[:-1] + 1))
+    )
+    run_starts = np.flatnonzero(new_run)
+    run_len = np.diff(np.append(run_starts, conv.size))
+    run_conv = conv[run_starts]
+    # per-conv reduce over the (already conv-sorted) run table
+    conv_starts = np.flatnonzero(
+        np.concatenate(([True], run_conv[1:] != run_conv[:-1]))
+    )
+    max_run = np.maximum.reduceat(run_len, conv_starts)
+    n_err = np.add.reduceat(run_len, conv_starts)
+    return pa.table({
+        "conv_id": pa.array(run_conv[conv_starts], type=pa.string()),
+        "max_run": pa.array(max_run, type=pa.int64()),
+        "n_error_turns": pa.array(n_err, type=pa.int64()),
+    }).cast(_BURST_SCHEMA)
+
+
+def conv_error_bursts(sf_dir: str) -> Dataset:
+    """Error-burst report: per conversation, the longest run of consecutive
+    error-or-worse turns and the total error-turn count — the transcript
+    incident-triage view of the reference's error listing (`pgweasel
+    errors`, filters/mod.rs min-severity chain): a burst of adjacent error
+    turns is one incident, scattered singletons are noise.
+
+    Scale shape: parse + severity filter FIRST (only error rows — a small
+    fraction of the stream — reach the shuffle), then one hash partition
+    by conv_id and a single vectorized gaps-and-islands pass per
+    partition. Bounded |convs|-row output, all-int64 measures."""
+    from .dataprep import _keyed_blocks
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    errs = ds.map_batches(
+        parse_filter_project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(groups=("severity",), min_rank=ERROR_RANK,
+                       keep=("conv_id", "turn_idx")),
+    ).materialize()
+    out = _keyed_blocks(errs, ["conv_id"], _burst_block)
+    return out.sort("conv_id")

@@ -4459,3 +4459,93 @@ def docs_source_stats(sf_dir: str) -> Dataset:
         Sum("n_tokens", alias_name="n_tokens"),
         Sum("n_chars", alias_name="n_chars"),
     ).sort("source")  # deterministic driver-hash order
+
+
+# --- winnowing fingerprints (Schleimer et al. 2003, SIGMOD — the MOSS
+# local document fingerprinting algorithm) -------------------------------------
+
+WINNOW_W = 4              # winnowing window, in grams: guarantee = any
+                          # match of >= W + MH_SHINGLE - 1 tokens shares a
+                          # selected fingerprint
+_WINNOW_POS_BITS = 21     # selection key = h * 2^21 - pos (rightmost tie)
+
+_WINNOW_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("n_grams", pa.int64()),
+    ("n_fp", pa.int64()), ("n_distinct_fp", pa.int64()),
+    ("fp_xor", pa.int64()),
+])
+
+
+def _winnow_block(batch: pa.Table) -> pa.Table:
+    """Winnowing selection for a batch of docs, fully vectorized: one flat
+    gram-hash pass (gram_hash_flat), one sliding_window_view argmin over
+    the selection key h * 2^21 - pos (smaller hash wins, RIGHTMOST wins
+    ties — the classic winnowing rule), cross-doc windows masked, short
+    docs (< W grams) selected via a per-segment min. Keys are distinct
+    within a doc (pos is), so every argmin is unique."""
+    from .. import hashing as H
+
+    if batch.num_rows == 0:
+        return _WINNOW_SCHEMA.empty_table()
+    texts = batch["text"].to_pylist()
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    g, gdoc = H.gram_hash_flat(texts)
+    n_docs, n = len(texts), len(g)
+    counts = np.bincount(gdoc, minlength=n_docs)   # >= 1 per doc (padding)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    local_pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    if n and int(local_pos.max()) >= (1 << _WINNOW_POS_BITS):
+        raise ValueError(
+            "winnowing: doc exceeds 2^21 grams; raise _WINNOW_POS_BITS"
+        )
+    key = g * np.int64(1 << _WINNOW_POS_BITS) - local_pos  # < 2^52, exact
+    w = WINNOW_W
+    sel_mask = np.zeros(n, dtype=bool)
+    if n >= w:
+        sw = np.lib.stride_tricks.sliding_window_view(key, w)
+        arg = np.argmin(sw, axis=1)
+        valid = gdoc[: n - w + 1] == gdoc[w - 1:]
+        sel_mask[(np.arange(n - w + 1, dtype=np.int64) + arg)[valid]] = True
+    short = counts < w
+    if short.any():
+        kmin = np.minimum.reduceat(key, starts)
+        sel_mask |= (key == np.repeat(kmin, counts)) & np.repeat(short, counts)
+    sel = np.flatnonzero(sel_mask)
+    sdoc, sh = gdoc[sel], g[sel]
+    n_fp = np.bincount(sdoc, minlength=n_docs)
+    # distinct selected hashes per doc (sorted-unique) + their XOR
+    order = np.lexsort((sh, sdoc))
+    ds_, hs_ = sdoc[order], sh[order]
+    keep = np.r_[True, (hs_[1:] != hs_[:-1]) | (ds_[1:] != ds_[:-1])]
+    ud, uh = ds_[keep], hs_[keep]
+    n_distinct = np.bincount(ud, minlength=n_docs)
+    fp_xor = np.zeros(n_docs, dtype=np.int64)
+    if uh.size:
+        ustarts = np.flatnonzero(np.r_[True, ud[1:] != ud[:-1]])
+        fp_xor[ud[ustarts]] = np.bitwise_xor.reduceat(uh, ustarts)
+    return pa.table({
+        "doc_id": pa.array(doc_ids, type=pa.int64()),
+        "n_grams": pa.array(counts, type=pa.int64()),
+        "n_fp": pa.array(n_fp, type=pa.int64()),
+        "n_distinct_fp": pa.array(n_distinct, type=pa.int64()),
+        "fp_xor": pa.array(fp_xor, type=pa.int64()),
+    }).cast(_WINNOW_SCHEMA)
+
+
+def docs_winnowing(sf_dir: str) -> Dataset:
+    """Winnowing fingerprint report per document (Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS algorithm): over the doc's word-3-gram hash
+    sequence, slide a W-gram window and select each window's minimum hash
+    (rightmost on ties); the selected set is a position-robust fingerprint
+    with the guarantee that any shared run of >= W+2 tokens between two
+    docs shares a selected fingerprint. Reported per doc: gram count,
+    selected-position count, distinct-fingerprint count, and the XOR of
+    the distinct fingerprint hashes (checks EVERY selected value).
+
+    Scale shape: pure stateless map over doc batches — zero shuffle; the
+    gram hashes reuse the mod-prime polynomial primitives shared with the
+    MinHash/Jaccard family (hashing.py numpy + DuckDB twins), so the
+    oracle replays selection exactly."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _winnow_block, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")

@@ -735,3 +735,385 @@ def conv_tool_hits(sf_dir: str) -> pd.DataFrame:
     return hits_scores(
         list(zip(edges["from_tool"], edges["to_tool"], edges["cnt"]))
     )
+
+
+# --- response latency + role balance (transcript conversational analytics) ----
+
+_LAT_SCHEMA = pa.schema([
+    ("tool", pa.string()), ("n_resp", pa.int64()),
+    ("sum_lat_us", pa.int64()), ("min_lat_us", pa.int64()),
+    ("max_lat_us", pa.int64()),
+])
+
+
+def _latency_block(batch: pa.Table) -> pa.Table:
+    """user→assistant consecutive-turn latencies for one conv-exclusive
+    partition: lexsort + shifted role compare (same shape as
+    _transitions_block), then per-tool integer-µs partials so the
+    downstream shuffle moves ≤|tools| rows per block."""
+    import numpy as np
+
+    empty = _LAT_SCHEMA.empty_table()
+    if batch.num_rows < 2:
+        return empty
+    conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+    turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+    role = batch["role"].to_numpy(zero_copy_only=False)
+    tool = batch["tool"].to_numpy(zero_copy_only=False)
+    ts_us = batch["ts"].to_numpy(zero_copy_only=False) \
+        .astype("datetime64[us]").view("int64")
+    order = np.lexsort((turn, conv))
+    conv, role, tool, ts_us = (
+        conv[order], role[order], tool[order], ts_us[order]
+    )
+    mask = (conv[1:] == conv[:-1]) \
+        & (role[:-1] == "user") & (role[1:] == "assistant")
+    if not mask.any():
+        return empty
+    pairs = pa.table({
+        "tool": pa.array(tool[1:][mask], type=pa.string()),
+        "lat": pa.array(ts_us[1:][mask] - ts_us[:-1][mask],
+                        type=pa.int64()),
+    })
+    agg = pairs.group_by(["tool"]).aggregate(
+        [("lat", "count"), ("lat", "sum"), ("lat", "min"), ("lat", "max")]
+    )
+    return agg.rename_columns(
+        ["tool", "n_resp", "sum_lat_us", "min_lat_us", "max_lat_us"]
+    ).cast(_LAT_SCHEMA)
+
+
+def _merge_latency_block(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return _LAT_SCHEMA.empty_table()
+    agg = t.group_by(["tool"]).aggregate(
+        [("n_resp", "sum"), ("sum_lat_us", "sum"),
+         ("min_lat_us", "min"), ("max_lat_us", "max")]
+    )
+    return agg.rename_columns(
+        ["tool", "n_resp", "sum_lat_us", "min_lat_us", "max_lat_us"]
+    ).cast(_LAT_SCHEMA)
+
+
+def conv_response_latency(sf_dir: str) -> Dataset:
+    """Assistant response latency per tool: for every consecutive
+    user→assistant turn pair within a conversation (ordered by turn_idx),
+    the µs gap between the two timestamps, aggregated per responding
+    assistant turn's tool — the conversational-SLA counterpart of the
+    reference's slow-statement report (duration.rs / `pgweasel slow`),
+    re-expressed over the transcript axis.
+
+    Scale shape: identical to conv_tool_transitions — conv-exclusive keyed
+    blocks, one lexsort + shifted compare per partition, per-block
+    pre-aggregated integer-µs partials (count/sum/min/max are all
+    mergeable), two-level tree block-sum over the ≤|tools|-row partials.
+    All-int64 output for bit-exact oracle parity."""
+    import ray
+
+    from .dataprep import _keyed_blocks
+
+    ds = read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "tool", "ts"]
+    ).materialize()
+    partials = _keyed_blocks(ds, ["conv_id"], _latency_block)
+    n_mid = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    mid = partials.repartition(n_mid).map_batches(
+        _merge_latency_block, batch_format="pyarrow", batch_size=None
+    )
+    return mid.repartition(1).map_batches(
+        _merge_latency_block, batch_format="pyarrow", batch_size=None
+    ).sort("tool")
+
+
+_ROLE_CONV_SCHEMA = pa.schema([
+    ("role", pa.string()), ("conv_id", pa.string()),
+    ("n_turns", pa.int64()), ("sum_chars", pa.int64()),
+    ("max_chars", pa.int64()),
+])
+
+_ROLE_SCHEMA = pa.schema([
+    ("role", pa.string()), ("n_convs", pa.int64()),
+    ("n_turns", pa.int64()), ("sum_chars", pa.int64()),
+    ("max_chars", pa.int64()),
+])
+
+
+def _role_conv_partials(batch: pa.Table) -> pa.Table:
+    """Per-(role, conv_id) pre-aggregation inside each read block — the
+    combiner that bounds the shuffle at |roles|·|convs-per-block| rows."""
+    if batch.num_rows == 0:
+        return _ROLE_CONV_SCHEMA.empty_table()
+    chars = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+    t = pa.table({
+        "role": batch["role"], "conv_id": batch["conv_id"], "chars": chars,
+    })
+    agg = t.group_by(["role", "conv_id"]).aggregate(
+        [("chars", "count"), ("chars", "sum"), ("chars", "max")]
+    )
+    return agg.rename_columns(
+        ["role", "conv_id", "n_turns", "sum_chars", "max_chars"]
+    ).cast(_ROLE_CONV_SCHEMA)
+
+
+def _role_partials_block(batch: pa.Table) -> pa.Table:
+    """One (role, conv_id)-exclusive partition → per-role partials. The
+    exclusivity makes the distinct-conv count EXACT: each (role, conv)
+    pair is finalized here and contributes 1 to n_convs exactly once."""
+    if batch.num_rows == 0:
+        return _ROLE_SCHEMA.empty_table()
+    merged = batch.group_by(["role", "conv_id"]).aggregate(
+        [("n_turns", "sum"), ("sum_chars", "sum"), ("max_chars", "max")]
+    ).rename_columns(
+        ["role", "conv_id", "n_turns", "sum_chars", "max_chars"]
+    )
+    agg = merged.group_by(["role"]).aggregate(
+        [("conv_id", "count"), ("n_turns", "sum"),
+         ("sum_chars", "sum"), ("max_chars", "max")]
+    )
+    return agg.rename_columns(
+        ["role", "n_convs", "n_turns", "sum_chars", "max_chars"]
+    ).cast(_ROLE_SCHEMA)
+
+
+def _merge_role_block(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return _ROLE_SCHEMA.empty_table()
+    agg = t.group_by(["role"]).aggregate(
+        [("n_convs", "sum"), ("n_turns", "sum"),
+         ("sum_chars", "sum"), ("max_chars", "max")]
+    )
+    return agg.rename_columns(
+        ["role", "n_convs", "n_turns", "sum_chars", "max_chars"]
+    ).cast(_ROLE_SCHEMA)
+
+
+def conv_role_balance(sf_dir: str) -> Dataset:
+    """Per-role conversational composition: turn count, EXACT distinct
+    conversation count, and character-volume stats — the
+    corpus-composition report a transcript pipeline runs before training
+    (role mix and message-size budget per role).
+
+    Scale shape: the exact distinct-count is a two-phase combiner, never a
+    global distinct shuffle of raw turns — (1) per-block pre-aggregation
+    to (role, conv_id) partials, (2) hash-partition on (role, conv_id) so
+    each pair is finalized in exactly one partition (count there = exact
+    distinct), (3) tree block-sum over ≤|roles|-row partials."""
+    import ray
+
+    from .dataprep import _keyed_blocks
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "role", "text"])
+    partials = ds.map_batches(
+        _role_conv_partials, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    role_partials = _keyed_blocks(
+        partials, ["role", "conv_id"], _role_partials_block
+    )
+    n_mid = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    mid = role_partials.repartition(n_mid).map_batches(
+        _merge_role_block, batch_format="pyarrow", batch_size=None
+    )
+    return mid.repartition(1).map_batches(
+        _merge_role_block, batch_format="pyarrow", batch_size=None
+    ).sort("role")
+
+
+# --- context-window analytics (per-conv ordered prefix scans) ------------------
+
+_CTX_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int64()),
+    ("n_chars", pa.int64()), ("cum_chars", pa.int64()),
+])
+
+
+def _context_growth_block(batch: pa.Table) -> pa.Table:
+    """Segmented prefix sum over one conv-exclusive partition: lexsort by
+    (conv_id, turn_idx), one np.cumsum, then subtract each segment's
+    pre-start total — no per-conv Python loop."""
+    import numpy as np
+
+    if batch.num_rows == 0:
+        return _CTX_SCHEMA.empty_table()
+    conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+    turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    chars = pc.cast(
+        pc.utf8_length(batch["text"]), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    order = np.lexsort((turn, conv))
+    conv, turn, chars = conv[order], turn[order], chars[order]
+    cum = np.cumsum(chars)
+    starts = np.flatnonzero(
+        np.concatenate(([True], conv[1:] != conv[:-1]))
+    )
+    # total BEFORE each segment start, repeated across the segment
+    base = cum[starts] - chars[starts]
+    seg_id = np.cumsum(
+        np.concatenate(([0], (conv[1:] != conv[:-1]).astype(np.int64)))
+    )
+    cum_chars = cum - base[seg_id]
+    return pa.table({
+        "conv_id": pa.array(conv, type=pa.string()),
+        "turn_idx": pa.array(turn, type=pa.int64()),
+        "n_chars": pa.array(chars, type=pa.int64()),
+        "cum_chars": pa.array(cum_chars, type=pa.int64()),
+    }).cast(_CTX_SCHEMA)
+
+
+def conv_context_growth(sf_dir: str) -> Dataset:
+    """Per-turn context growth: running character total of the conversation
+    up to and including each turn — the context-length budget curve an LLM
+    serving/training pipeline computes before packing or truncation.
+
+    Scale shape: map-cardinality output (one row per turn); one hash
+    partition by conv_id (the minimal co-location the ordered prefix scan
+    needs), then a single vectorized segmented cumsum per partition.
+    All-int64 measures for bit-exact oracle parity."""
+    from .dataprep import _keyed_blocks
+
+    ds = read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "text"]
+    ).materialize()
+    out = _keyed_blocks(ds, ["conv_id"], _context_growth_block)
+    return out.sort(["conv_id", "turn_idx"])
+
+
+CTX_BUDGET_TOKENS = 256  # suffix token budget for context truncation
+
+_TRUNC_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("n_turns", pa.int64()),
+    ("n_kept", pa.int64()), ("kept_tokens", pa.int64()),
+    ("first_kept_turn", pa.int64()),
+])
+
+
+def _truncate_block(batch: pa.Table, budget: int) -> pa.Table:
+    """Context-window truncation for one conv-exclusive partition: keep the
+    longest SUFFIX of each conversation whose total whitespace-token count
+    fits ``budget`` (the keep-recent-turns rule serving stacks apply).
+    Vectorized: reversed segmented cumsum + reduceat per segment."""
+    import numpy as np
+
+    if batch.num_rows == 0:
+        return _TRUNC_SCHEMA.empty_table()
+    conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+    turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = pc.cast(
+        pc.count_substring_regex(batch["text"], r"\S+"), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    order = np.lexsort((turn, conv))
+    conv, turn, toks = conv[order], turn[order], toks[order]
+    # reversed view: suffix sums become prefix sums of the flipped arrays
+    rconv, rturn, rtoks = conv[::-1], turn[::-1], toks[::-1]
+    rcum = np.cumsum(rtoks)
+    rstarts = np.flatnonzero(
+        np.concatenate(([True], rconv[1:] != rconv[:-1]))
+    )
+    rbase = rcum[rstarts] - rtoks[rstarts]
+    rseg = np.cumsum(
+        np.concatenate(([0], (rconv[1:] != rconv[:-1]).astype(np.int64)))
+    )
+    suffix_total = rcum - rbase[rseg]          # tokens from this turn to end
+    kept = suffix_total <= budget
+    n_turns = np.add.reduceat(np.ones_like(rtoks), rstarts)
+    n_kept = np.add.reduceat(kept.astype(np.int64), rstarts)
+    kept_tokens = np.add.reduceat(np.where(kept, rtoks, 0), rstarts)
+    # first kept turn = min turn_idx among kept rows per segment; -1 if none
+    first_kept = np.minimum.reduceat(
+        np.where(kept, rturn, np.iinfo(np.int64).max), rstarts
+    )
+    first_kept = np.where(n_kept > 0, first_kept, -1)
+    return pa.table({
+        "conv_id": pa.array(rconv[rstarts], type=pa.string()),
+        "n_turns": pa.array(n_turns, type=pa.int64()),
+        "n_kept": pa.array(n_kept, type=pa.int64()),
+        "kept_tokens": pa.array(kept_tokens, type=pa.int64()),
+        "first_kept_turn": pa.array(first_kept, type=pa.int64()),
+    }).cast(_TRUNC_SCHEMA)
+
+
+def conv_truncate_context(sf_dir: str) -> Dataset:
+    """Context-window truncation report: per conversation, how many of its
+    most recent turns fit a CTX_BUDGET_TOKENS whitespace-token budget
+    (longest suffix with total tokens <= budget), how many tokens those
+    kept turns carry, and where the kept window starts (-1 when even the
+    final turn alone exceeds the budget).
+
+    Scale shape: identical to conv_context_growth — one hash partition by
+    conv_id, one vectorized reversed-cumsum pass per partition, one
+    bounded (|convs|-row) output."""
+    from .dataprep import _keyed_blocks
+
+    ds = read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "text"]
+    ).materialize()
+    out = _keyed_blocks(
+        ds, ["conv_id"], _truncate_block,
+        fn_kwargs={"budget": CTX_BUDGET_TOKENS},
+    )
+    return out.sort("conv_id")
+
+
+CONV_SPLIT_GAP_US = 4_500_000  # ts gap that splits a conversation into
+                               # sessions (fixture gaps span 1-6 s)
+
+_SPLIT_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("n_turns", pa.int64()),
+    ("n_sessions", pa.int64()), ("max_gap_us", pa.int64()),
+    ("span_us", pa.int64()),
+])
+
+
+def _session_splits_block(batch: pa.Table, gap_us: int) -> pa.Table:
+    """Gap-based session splitting for one conv-exclusive partition:
+    lexsort by (conv_id, turn_idx), consecutive-ts diffs within each conv,
+    per-conv reduceat over the split mask. max_gap_us is -1 for
+    single-turn conversations (no gap exists)."""
+    import numpy as np
+
+    if batch.num_rows == 0:
+        return _SPLIT_SCHEMA.empty_table()
+    conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+    turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+    ts_us = batch["ts"].to_numpy(zero_copy_only=False) \
+        .astype("datetime64[us]").view("int64")
+    order = np.lexsort((turn, conv))
+    conv, ts_us = conv[order], ts_us[order]
+    same = np.concatenate(([False], conv[1:] == conv[:-1]))
+    gap = np.concatenate(([0], ts_us[1:] - ts_us[:-1]))
+    starts = np.flatnonzero(~same)
+    counts = np.diff(np.append(starts, conv.size))
+    splits = same & (gap > gap_us)
+    n_sessions = 1 + np.add.reduceat(splits.astype(np.int64), starts)
+    gaps_masked = np.where(same, gap, np.int64(-1))
+    max_gap = np.maximum.reduceat(gaps_masked, starts)
+    span = (np.maximum.reduceat(ts_us, starts)
+            - np.minimum.reduceat(ts_us, starts))
+    return pa.table({
+        "conv_id": pa.array(conv[starts], type=pa.string()),
+        "n_turns": pa.array(counts, type=pa.int64()),
+        "n_sessions": pa.array(n_sessions, type=pa.int64()),
+        "max_gap_us": pa.array(max_gap, type=pa.int64()),
+        "span_us": pa.array(span, type=pa.int64()),
+    }).cast(_SPLIT_SCHEMA)
+
+
+def conv_session_splits(sf_dir: str) -> Dataset:
+    """Gap-based session splitting of conversations: per conv_id, how many
+    sessions a CONV_SPLIT_GAP_US idle-gap rule produces, the largest
+    inter-turn gap, and the total time span — the transcript-axis
+    counterpart of the events-stream sessionization (`events_user_sessions`),
+    computed with the same split-count shape.
+
+    Scale shape: one hash partition by conv_id, one vectorized
+    lexsort+diff+reduceat pass per partition, bounded |convs|-row output,
+    all-int64 measures (gaps/spans in integer µs)."""
+    from .dataprep import _keyed_blocks
+
+    ds = read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "ts"]
+    ).materialize()
+    out = _keyed_blocks(
+        ds, ["conv_id"], _session_splits_block,
+        fn_kwargs={"gap_us": CONV_SPLIT_GAP_US},
+    )
+    return out.sort("conv_id")

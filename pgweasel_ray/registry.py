@@ -15,8 +15,11 @@ CORRECTNESS_r*.json ledger.
 
 Round-5 window: slots 1-4 are the never-driver-green set (conv_tool_hits,
 events_value_mad, events_daily_top_types per ADVICE r4; docs_pack_sequences
-had rows+schema green but hash red in r04), slots 5-7 the new ExactSubstr
-family (span report, span strip, novelty score), then every query whose OUTPUT SHAPE changed this round (the 6
+had rows+schema green but hash red in r04), slots 5-12 the new ExactSubstr
+family (span report, span strip, novelty score) and the five new
+conversational-analytics queries (response latency, role balance, context
+growth, context truncation, error bursts), then
+every query whose OUTPUT SHAPE changed this round (the 6
 bounded survivor summaries) plus the shuffle-ending deterministic-order
 fixes, then the nine queries last driver-green in r02. WINDOW-FULL
 EXCEPTION (noted per ADVICE r4): more queries were touched this round than
@@ -49,6 +52,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_substr": dataprep.dedup_exact_substr,
         "docs_dup_span_strip": dataprep.docs_dup_span_strip,
         "docs_novelty": dataprep.docs_novelty,
+        "docs_winnowing": dataprep.docs_winnowing,
+        "conv_response_latency": windows.conv_response_latency,
+        "conv_role_balance": windows.conv_role_balance,
+        "conv_context_growth": windows.conv_context_growth,
+        "conv_truncate_context": windows.conv_truncate_context,
+        "conv_error_bursts": core.conv_error_bursts,
+        "conv_session_splits": windows.conv_session_splits,
         # --- tier B: pipeline/oracle touched in round 5 --------------------
         # (deterministic-order fix: final sort + matching oracle ORDER BY)
         "dedup_chunks": dataprep.dedup_chunks,
@@ -89,15 +99,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- tier C: last driver-green in r02 (longest unverified) ---------
         "ann_cosine_topk": dataprep.ann_cosine_topk,
         "docs_lang_id": dataprep.docs_lang_id,
+        # ---- slot 50 boundary: entries below were driver-green in r03/r04
+        # and are untouched this round (seven r02-green tier-C entries —
+        # docs_fingerprint/docs_scrub/docs_decontaminate/docs_vocab_topk/
+        # docs_sample_hash/docs_length_quantiles/corpus_prep — rotated out
+        # to make room for the seven new never-driver-checked round-5
+        # queries (five conversational-analytics + winnowing + session
+        # splits), which the rotation policy ranks above
+        # longest-unverified-but-green; all seven remain value-identical
+        # in this session's local sweep) -------------------------------------
         "docs_fingerprint": dataprep.docs_fingerprint,
-        "docs_scrub": dataprep.docs_scrub,
         "corpus_prep": dataprep.corpus_prep,
+        "docs_scrub": dataprep.docs_scrub,
         "docs_decontaminate": dataprep.docs_decontaminate,
         "docs_vocab_topk": dataprep.docs_vocab_topk,
         "docs_sample_hash": dataprep.docs_sample_hash,
         "docs_length_quantiles": dataprep.docs_length_quantiles,
-        # ---- slot 50 boundary: entries below were driver-green in r03/r04
-        # and are untouched this round --------------------------------------
         "events_range_join": windows.events_range_join,
         # order-only fixes whose shared code path is verified in-window
         # by connections_by_host / events_value_range (window is full;

@@ -1,0 +1,253 @@
+"""Randomized DuckDB-vs-kernel parity for the round-5 conversational
+analytics. A whole random transcript table is trivially one conv-exclusive
+partition, so each block kernel applied once must equal its oracle SQL —
+distribution-independent evidence with gaps, bursts, shuffled row order,
+and adversarial turn spacing, no Ray session needed."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pgweasel_ray.pipelines.core import _burst_block
+from pgweasel_ray.pipelines.windows import (
+    _context_growth_block,
+    _latency_block,
+    _truncate_block,
+)
+
+ROLES = ["user", "assistant", "system", "tool", "operator"]
+TOOLS = ["search", "exec", "browse", "none"]
+
+
+def _random_transcripts(seed: int, n_convs: int = 25) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    conv, turn, role, tool, ts, text = [], [], [], [], [], []
+    t0 = np.datetime64("2025-05-21T10:00:00", "us")
+    for c in range(n_convs):
+        n = int(rng.integers(1, 30))
+        # non-dense turn_idx with occasional gaps (tests the
+        # turn_idx-arithmetic run definition)
+        idxs = np.cumsum(rng.choice([1, 1, 1, 2, 3], size=n))
+        t = t0 + np.cumsum(rng.integers(1, 5_000_000, n)).astype(
+            "timedelta64[us]"
+        )
+        for i in range(n):
+            conv.append(f"c{c:03d}")
+            turn.append(int(idxs[i]))
+            role.append(ROLES[int(rng.integers(0, len(ROLES)))])
+            tool.append(TOOLS[int(rng.integers(0, len(TOOLS)))])
+            ts.append(t[i])
+            nw = int(rng.integers(0, 12))
+            words = ["ERROR: boom" if rng.random() < 0.25 else "ok"]
+            words += [f"w{int(rng.integers(0, 50))}" for _ in range(nw)]
+            text.append(" ".join(words))
+    tbl = pa.table({
+        "conv_id": pa.array(conv, type=pa.string()),
+        "turn_idx": pa.array(turn, type=pa.int64()),
+        "role": pa.array(role, type=pa.string()),
+        "tool": pa.array(tool, type=pa.string()),
+        "ts": pa.array(np.array(ts), type=pa.timestamp("us")),
+        "text": pa.array(text, type=pa.string()),
+    })
+    # shuffle row order: kernels must not rely on input order
+    perm = rng.permutation(tbl.num_rows)
+    return tbl.take(pa.array(perm))
+
+
+@pytest.fixture(scope="module", params=[7, 42, 1234])
+def rand_tbl(request):
+    return _random_transcripts(request.param)
+
+
+def _sql(tbl: pa.Table, q: str):
+    con = duckdb.connect()
+    con.register("tr", tbl)
+    return con.sql(q).arrow().to_pydict()
+
+
+def test_latency_kernel_matches_sql(rand_tbl):
+    got = _latency_block(rand_tbl).sort_by("tool").to_pydict()
+    want = _sql(rand_tbl, """
+WITH t AS (
+  SELECT conv_id, role, tool, epoch_us(ts) AS ts_us,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_ts
+  FROM tr
+)
+SELECT tool, count(*)::BIGINT AS n_resp,
+       sum(ts_us - prev_ts)::BIGINT AS sum_lat_us,
+       min(ts_us - prev_ts)::BIGINT AS min_lat_us,
+       max(ts_us - prev_ts)::BIGINT AS max_lat_us
+FROM t WHERE prev_role = 'user' AND role = 'assistant'
+GROUP BY tool ORDER BY tool""")
+    assert got == want
+
+
+def test_context_growth_kernel_matches_sql(rand_tbl):
+    got = _context_growth_block(rand_tbl)
+    got = got.sort_by([("conv_id", "ascending"),
+                       ("turn_idx", "ascending")]).to_pydict()
+    want = _sql(rand_tbl, """
+SELECT conv_id, turn_idx::BIGINT AS turn_idx,
+       length(text)::BIGINT AS n_chars,
+       sum(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_chars
+FROM tr ORDER BY conv_id, turn_idx""")
+    assert got == want
+
+
+@pytest.mark.parametrize("budget", [0, 5, 17, 10_000])
+def test_truncate_kernel_matches_sql(rand_tbl, budget):
+    got = _truncate_block(rand_tbl, budget=budget)
+    got = got.sort_by("conv_id").to_pydict()
+    want = _sql(rand_tbl, rf"""
+WITH t AS (
+  SELECT conv_id, turn_idx,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS toks
+  FROM tr
+), s AS (
+  SELECT conv_id, turn_idx, toks,
+         sum(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                         ROWS UNBOUNDED PRECEDING) AS suffix_total
+  FROM t
+)
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN suffix_total <= {budget} THEN 1 ELSE 0 END)::BIGINT
+         AS n_kept,
+       sum(CASE WHEN suffix_total <= {budget} THEN toks ELSE 0 END)::BIGINT
+         AS kept_tokens,
+       coalesce(min(CASE WHEN suffix_total <= {budget} THEN turn_idx END),
+                -1)::BIGINT AS first_kept_turn
+FROM s GROUP BY conv_id ORDER BY conv_id""")
+    assert got == want
+
+
+def test_burst_kernel_matches_sql(rand_tbl):
+    # error rows only (the pipeline filters before the shuffle); the
+    # 'ERROR: boom' plant maps to severity error in the parse kernels,
+    # but here we test the run-length kernel itself on a direct subset
+    mask = pa.compute.match_substring(rand_tbl["text"], "ERROR:")
+    errs = rand_tbl.filter(mask)
+    got = _burst_block(errs).sort_by("conv_id").to_pydict()
+    want = _sql(errs, """
+WITH e AS (
+  SELECT conv_id, turn_idx,
+         turn_idx - row_number() OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS grp
+  FROM tr
+), runs AS (
+  SELECT conv_id, count(*) AS run_len FROM e GROUP BY conv_id, grp
+)
+SELECT conv_id, max(run_len)::BIGINT AS max_run,
+       sum(run_len)::BIGINT AS n_error_turns
+FROM runs GROUP BY conv_id ORDER BY conv_id""")
+    assert got == want
+
+
+def test_session_splits_kernel_matches_sql(rand_tbl):
+    from pgweasel_ray.pipelines.windows import _session_splits_block
+
+    got = _session_splits_block(rand_tbl, gap_us=2_500_000)
+    got = got.sort_by("conv_id").to_pydict()
+    want = _sql(rand_tbl, """
+WITH t AS (
+  SELECT conv_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id
+                                                ORDER BY turn_idx) AS gap
+  FROM tr
+)
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       (1 + sum(CASE WHEN gap > 2500000 THEN 1 ELSE 0 END))::BIGINT
+         AS n_sessions,
+       coalesce(max(gap), -1)::BIGINT AS max_gap_us,
+       (max(ts_us) - min(ts_us))::BIGINT AS span_us
+FROM t GROUP BY conv_id ORDER BY conv_id""")
+    assert got == want
+
+
+# --- winnowing ----------------------------------------------------------------
+
+def _random_docs(seed: int, n_docs: int = 40) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    texts = []
+    for _ in range(n_docs):
+        nw = int(rng.integers(0, 25))   # includes sub-shingle docs (pad path)
+        texts.append(" ".join(f"w{int(rng.integers(0, 12))}"
+                              for _ in range(nw)))
+    # plant exact repeats so equal gram hashes (tie rule) actually occur
+    for _ in range(5):
+        a, b = rng.integers(0, n_docs, 2)
+        texts[b] = texts[a] + " " + texts[a]
+    return pa.table({
+        "doc_id": pa.array(range(n_docs), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+
+
+@pytest.mark.parametrize("seed", [3, 99, 2024])
+def test_winnowing_kernel_matches_sql(seed):
+    from pgweasel_ray.oracle_queries import _winnowing_sql
+    from pgweasel_ray.pipelines.dataprep import _winnow_block
+
+    docs = _random_docs(seed)
+    got = _winnow_block(docs).sort_by("doc_id").to_pydict()
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.sql(_winnowing_sql()).arrow().to_pydict()
+    assert got == want
+
+
+def test_winnowing_selects_rightmost_min_on_ties():
+    from pgweasel_ray import hashing as H
+    from pgweasel_ray.pipelines.dataprep import WINNOW_W, _winnow_block
+
+    # one doc of a single repeated word: every gram hash is equal, so each
+    # window's rightmost position wins -> selected set = {W-1, W, ..., m-1}
+    n_words = 12
+    doc = pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": pa.array([" ".join(["same"] * n_words)]),
+    })
+    out = _winnow_block(doc).to_pydict()
+    m = n_words - H.MH_SHINGLE + 1               # gram count
+    assert out["n_grams"] == [m]
+    assert out["n_fp"] == [m - WINNOW_W + 1]     # rightmost of each window
+    assert out["n_distinct_fp"] == [1]           # all the same hash value
+    g = H.gram_hashes(" ".join(["same"] * n_words))
+    assert out["fp_xor"] == [int(g[0])]
+
+
+def test_winnowing_guarantee_shared_run_shares_a_fingerprint():
+    """The winnowing property: two docs sharing a run of >= W + n - 1
+    tokens (W windows over the shared grams) share >= 1 fingerprint."""
+    from pgweasel_ray import hashing as H
+    from pgweasel_ray.pipelines.dataprep import WINNOW_W, _winnow_block
+
+    shared = " ".join(f"s{i}" for i in range(WINNOW_W + H.MH_SHINGLE + 2))
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array([f"aaa bbb {shared}", f"{shared} ccc ddd eee"]),
+    })
+    # recompute the selected hash SETS per doc via the kernel's own parts:
+    out = _winnow_block(docs)
+    assert out.num_rows == 2
+    # xor alone can't prove intersection; assert via a direct re-selection
+    texts = docs["text"].to_pylist()
+    sets = []
+    for t in texts:
+        one = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                        "text": pa.array([t])})
+        # distinct fp hashes = n_distinct_fp; recover the set by brute
+        # force: all gram hashes that are window minima
+        g = H.gram_hashes(t)
+        key = g * (1 << 21) - np.arange(len(g), dtype=np.int64)
+        sel = set()
+        for p in range(max(len(g) - WINNOW_W + 1, 1)):
+            w = key[p:p + WINNOW_W]
+            sel.add(int(g[p + int(np.argmin(w))]))
+        sets.append(sel)
+    assert sets[0] & sets[1], "shared run must share a fingerprint"

@@ -22,6 +22,9 @@ MUST_VERIFY = {
     "docs_pack_sequences",
     # new in round 5
     "dedup_exact_substr", "docs_dup_span_strip", "docs_novelty",
+    "docs_winnowing",
+    "conv_response_latency", "conv_role_balance", "conv_context_growth",
+    "conv_truncate_context", "conv_error_bursts", "conv_session_splits",
     # pipeline/oracle touched in round 5 (deterministic-order fix: final
     # sort + matching oracle ORDER BY; multimodal pool sizing; guards)
     "dedup_chunks", "docs_strip_boilerplate", "docs_tfidf_topk",
@@ -37,10 +40,13 @@ MUST_VERIFY = {
     "sessions", "conv_first_error", "events_value_range",
     "events_props_k_sum", "conv_tool_transitions", "events_by_segment",
     "flagged_conv_turns", "events_value_linfit",
-    # last driver-green in r02 (longest unverified)
-    "ann_cosine_topk", "docs_lang_id", "docs_fingerprint", "docs_scrub",
-    "corpus_prep", "docs_decontaminate", "docs_vocab_topk",
-    "docs_sample_hash", "docs_length_quantiles",
+    # last driver-green in r02 (longest unverified); the other seven r02
+    # tier-C entries (docs_fingerprint/docs_scrub/docs_decontaminate/
+    # docs_vocab_topk/docs_sample_hash/docs_length_quantiles/corpus_prep)
+    # were rotated past slot 50 to make room for the seven new
+    # never-driver-checked round-5 queries — never-checked outranks
+    # longest-unverified-but-green per the policy
+    "ann_cosine_topk", "docs_lang_id",
 }
 
 
