@@ -133,6 +133,8 @@ def run_bench() -> dict:
                           dataprep.docs_dup_span_strip),
                          ("docs_novelty", dataprep.docs_novelty),
                          ("docs_winnowing", dataprep.docs_winnowing),
+                         ("docs_winnow_sim_topk",
+                          dataprep.docs_winnow_sim_topk),
                          ("docs_pack_sequences",
                           dataprep.docs_pack_sequences),
                          ("dedup_components", dataprep.dedup_components),

@@ -480,6 +480,41 @@ FROM meta m JOIN a USING (doc_id) JOIN b USING (doc_id)
 ORDER BY doc_id"""
 
 
+def _winnow_sim_sql() -> str:
+    """MOSS similarity pairs replayed: same selection CTEs as
+    _winnowing_sql down to fph (distinct (doc, fingerprint)), then the
+    hot-cap filter (2 <= docs-per-fingerprint <= WINNOW_HOT_CAP), the
+    within-bucket self-join, and the deterministic (n DESC, a, b) top-k."""
+    W = dataprep.WINNOW_W
+    S = 1 << dataprep._WINNOW_POS_BITS
+    return f"""WITH {H.sql_gram_hashes_cte()}, posx AS (
+  SELECT doc_id, i - 1 AS pos, hs[i] AS h
+  FROM gh, LATERAL (SELECT unnest(generate_series(1, len(hs))) AS i) u
+), meta AS (
+  SELECT doc_id, len(hs) AS m FROM gh
+), win AS (
+  SELECT doc_id, p - 1 AS p
+  FROM meta, LATERAL (
+    SELECT unnest(generate_series(1, greatest(m - {W} + 1, 1))) AS p) u
+), sel AS (
+  SELECT w.doc_id, w.p,
+         arg_min(o.h, o.h * {S} - o.pos) AS fp_h
+  FROM win w JOIN posx o
+    ON o.doc_id = w.doc_id AND o.pos >= w.p AND o.pos < w.p + {W}
+  GROUP BY w.doc_id, w.p
+), fph AS (
+  SELECT DISTINCT doc_id, fp_h FROM sel
+), ok AS (
+  SELECT fp_h FROM fph GROUP BY fp_h
+  HAVING count(*) >= 2 AND count(*) <= {dataprep.WINNOW_HOT_CAP}
+)
+SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS n_shared
+FROM fph x JOIN fph y ON x.fp_h = y.fp_h AND x.doc_id < y.doc_id
+JOIN ok ON ok.fp_h = x.fp_h
+GROUP BY x.doc_id, y.doc_id
+ORDER BY n_shared DESC, a, b LIMIT {dataprep.WINNOW_SIM_K}"""
+
+
 def _exsub_cte_prefix() -> str:
     """Shared toks → overlapping shingles → non-canonical duplicate
     positions prefix for the ExactSubstr family (dedup_exact_substr,
@@ -1774,6 +1809,7 @@ FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
         "docs_dup_span_strip": _dup_span_strip_sql(),
         "docs_novelty": _novelty_sql(),
         "docs_winnowing": _winnowing_sql(),
+        "docs_winnow_sim_topk": _winnow_sim_sql(),
         "docs_strip_boilerplate": _strip_boilerplate_sql(),
         "docs_lm_surprisal": _lm_surprisal_sql(),
         "docs_tfidf_topk": _tfidf_topk_sql(),

@@ -4476,19 +4476,17 @@ _WINNOW_SCHEMA = pa.schema([
 ])
 
 
-def _winnow_block(batch: pa.Table) -> pa.Table:
-    """Winnowing selection for a batch of docs, fully vectorized: one flat
-    gram-hash pass (gram_hash_flat), one sliding_window_view argmin over
-    the selection key h * 2^21 - pos (smaller hash wins, RIGHTMOST wins
-    ties — the classic winnowing rule), cross-doc windows masked, short
-    docs (< W grams) selected via a per-segment min. Keys are distinct
-    within a doc (pos is), so every argmin is unique."""
+def _winnow_select(texts: list[str]):
+    """The winnowing selection itself (shared by the per-doc report and
+    the similarity join): one flat gram-hash pass (gram_hash_flat), one
+    sliding_window_view argmin over the selection key h * 2^21 - pos
+    (smaller hash wins, RIGHTMOST wins ties — the classic winnowing rule),
+    cross-doc windows masked, short docs (< W grams) selected via a
+    per-segment min. Keys are distinct within a doc (pos is), so every
+    argmin is unique. Returns (per-doc gram counts, selected grams' doc
+    index, selected grams' hashes)."""
     from .. import hashing as H
 
-    if batch.num_rows == 0:
-        return _WINNOW_SCHEMA.empty_table()
-    texts = batch["text"].to_pylist()
-    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     g, gdoc = H.gram_hash_flat(texts)
     n_docs, n = len(texts), len(g)
     counts = np.bincount(gdoc, minlength=n_docs)   # >= 1 per doc (padding)
@@ -4511,7 +4509,17 @@ def _winnow_block(batch: pa.Table) -> pa.Table:
         kmin = np.minimum.reduceat(key, starts)
         sel_mask |= (key == np.repeat(kmin, counts)) & np.repeat(short, counts)
     sel = np.flatnonzero(sel_mask)
-    sdoc, sh = gdoc[sel], g[sel]
+    return counts, gdoc[sel], g[sel]
+
+
+def _winnow_block(batch: pa.Table) -> pa.Table:
+    """Per-doc winnowing fingerprint report (see _winnow_select)."""
+    if batch.num_rows == 0:
+        return _WINNOW_SCHEMA.empty_table()
+    texts = batch["text"].to_pylist()
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_docs = len(texts)
+    counts, sdoc, sh = _winnow_select(texts)
     n_fp = np.bincount(sdoc, minlength=n_docs)
     # distinct selected hashes per doc (sorted-unique) + their XOR
     order = np.lexsort((sh, sdoc))
@@ -4549,3 +4557,92 @@ def docs_winnowing(sf_dir: str) -> Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _winnow_block, batch_format="pyarrow", zero_copy_batch=True
     ).sort("doc_id")
+
+
+WINNOW_SIM_K = 20        # report the K most-similar pairs
+WINNOW_HOT_CAP = 16      # fingerprints shared by more docs than this are
+                         # dropped (no similarity signal; caps the
+                         # per-bucket pair blowup — same convention as the
+                         # PPJoin hot-bucket cap)
+
+
+def _winnow_fp_rows(batch: pa.Table) -> pa.Table:
+    """doc batch → DISTINCT (h, doc_id) selected-fingerprint rows — the
+    compressed exchange for the similarity join (selected grams only,
+    16 bytes/row; text never shuffles)."""
+    empty = pa.table({"h": pa.array([], type=pa.int64()),
+                      "doc_id": pa.array([], type=pa.int64())})
+    if batch.num_rows == 0:
+        return empty
+    texts = batch["text"].to_pylist()
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    _, sdoc, sh = _winnow_select(texts)
+    if sdoc.size == 0:
+        return empty
+    order = np.lexsort((sh, sdoc))
+    ds_, hs_ = sdoc[order], sh[order]
+    keep = np.r_[True, (hs_[1:] != hs_[:-1]) | (ds_[1:] != ds_[:-1])]
+    return pa.table({
+        "h": pa.array(hs_[keep], type=pa.int64()),
+        "doc_id": pa.array(doc_ids[ds_[keep]], type=pa.int64()),
+    })
+
+
+def _winnow_pairs_block(batch: pa.Table) -> pa.Table:
+    """Per h-exclusive partition: co-occurring doc pairs per fingerprint
+    (each input row is a distinct (h, doc)), hot fingerprints (> CAP docs)
+    dropped, then pair counts PRE-AGGREGATED inside the block so the
+    downstream (a, b) groupby moves one row per distinct pair per block."""
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64())})
+    if batch.num_rows == 0:
+        return empty
+    h = batch["h"].to_numpy(zero_copy_only=False)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, h))
+    h, ids = h[order], ids[order]
+    bounds = np.flatnonzero(np.r_[True, h[1:] != h[:-1], True])
+    out_a, out_b = [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        sz = e - s
+        if sz < 2 or sz > WINNOW_HOT_CAP:
+            continue
+        bucket = ids[s:e]                       # already distinct + sorted
+        i, j = np.triu_indices(sz, 1)
+        out_a.append(bucket[i])
+        out_b.append(bucket[j])
+    if not out_a:
+        return empty
+    rows = np.stack([np.concatenate(out_a), np.concatenate(out_b)], axis=1)
+    uniq, cnt = np.unique(rows, axis=0, return_counts=True)
+    return pa.table({"a": pa.array(uniq[:, 0], type=pa.int64()),
+                     "b": pa.array(uniq[:, 1], type=pa.int64()),
+                     "n": pa.array(cnt, type=pa.int64())})
+
+
+def docs_winnow_sim_topk(sf_dir: str) -> Dataset:
+    """The K most similar doc pairs by SHARED WINNOWING FINGERPRINTS — the
+    MOSS similarity report (Schleimer et al. 2003 §5: two docs' match
+    score is the overlap of their selected fingerprint sets). Ties broken
+    by (a, b) for a deterministic gate.
+
+    Scale shape: only selected fingerprints shuffle (16-byte rows, ~1/W of
+    the grams); candidate pairs form within a fingerprint bucket only
+    (never all pairs); hot fingerprints are capped at WINNOW_HOT_CAP docs
+    (common-phrase buckets carry no signal — the PPJoin-cap convention);
+    per-block pair pre-aggregation bounds the (a, b) exchange; top-k is a
+    distributed sort+limit."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    fp_rows = docs.map_batches(
+        _winnow_fp_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    partials = _keyed_blocks(fp_rows, ["h"], _winnow_pairs_block)
+    pairs = partials.groupby(["a", "b"]).aggregate(
+        Sum("n", alias_name="n_shared")
+    )
+    return pairs.sort(
+        ["n_shared", "a", "b"], descending=[True, False, False]
+    ).limit(WINNOW_SIM_K)

@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_span_strip": dataprep.docs_dup_span_strip,
         "docs_novelty": dataprep.docs_novelty,
         "docs_winnowing": dataprep.docs_winnowing,
+        "docs_winnow_sim_topk": dataprep.docs_winnow_sim_topk,
         "conv_response_latency": windows.conv_response_latency,
         "conv_role_balance": windows.conv_role_balance,
         "conv_context_growth": windows.conv_context_growth,
@@ -98,16 +99,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_linfit": events.events_value_linfit,
         # --- tier C: last driver-green in r02 (longest unverified) ---------
         "ann_cosine_topk": dataprep.ann_cosine_topk,
-        "docs_lang_id": dataprep.docs_lang_id,
         # ---- slot 50 boundary: entries below were driver-green in r03/r04
-        # and are untouched this round (seven r02-green tier-C entries —
-        # docs_fingerprint/docs_scrub/docs_decontaminate/docs_vocab_topk/
-        # docs_sample_hash/docs_length_quantiles/corpus_prep — rotated out
-        # to make room for the seven new never-driver-checked round-5
-        # queries (five conversational-analytics + winnowing + session
-        # splits), which the rotation policy ranks above
-        # longest-unverified-but-green; all seven remain value-identical
-        # in this session's local sweep) -------------------------------------
+        # and are untouched this round (eight r02-green tier-C entries —
+        # docs_lang_id/docs_fingerprint/docs_scrub/docs_decontaminate/
+        # docs_vocab_topk/docs_sample_hash/docs_length_quantiles/
+        # corpus_prep — rotated out to make room for the eight new
+        # never-driver-checked round-5 queries (five conversational-
+        # analytics + session splits + the winnowing pair), which the
+        # rotation policy ranks above longest-unverified-but-green; all
+        # eight remain value-identical in this session's local sweep) --------
+        "docs_lang_id": dataprep.docs_lang_id,
         "docs_fingerprint": dataprep.docs_fingerprint,
         "corpus_prep": dataprep.corpus_prep,
         "docs_scrub": dataprep.docs_scrub,

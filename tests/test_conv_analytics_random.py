@@ -251,3 +251,33 @@ def test_winnowing_guarantee_shared_run_shares_a_fingerprint():
             sel.add(int(g[p + int(np.argmin(w))]))
         sets.append(sel)
     assert sets[0] & sets[1], "shared run must share a fingerprint"
+
+
+@pytest.mark.parametrize("seed", [5, 77])
+def test_winnow_sim_pairs_kernel_matches_sql(seed):
+    """Full pair set (pre-top-k): one block holds every fingerprint, so
+    _winnow_fp_rows + _winnow_pairs_block equals the SQL join including
+    the hot-fingerprint cap."""
+    from pgweasel_ray.pipelines.dataprep import (
+        WINNOW_HOT_CAP,
+        _winnow_fp_rows,
+        _winnow_pairs_block,
+    )
+
+    docs = _random_docs(seed, n_docs=50)
+    fp = _winnow_fp_rows(docs)
+    got = _winnow_pairs_block(fp)
+    got = got.rename_columns(["a", "b", "n_shared"]) \
+        .sort_by([("a", "ascending"), ("b", "ascending")]).to_pydict()
+    con = duckdb.connect()
+    con.register("fph", fp)
+    want = con.sql(f"""
+WITH ok AS (
+  SELECT h FROM fph GROUP BY h
+  HAVING count(*) >= 2 AND count(*) <= {WINNOW_HOT_CAP}
+)
+SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS n_shared
+FROM fph x JOIN fph y ON x.h = y.h AND x.doc_id < y.doc_id
+JOIN ok ON ok.h = x.h
+GROUP BY x.doc_id, y.doc_id ORDER BY a, b""").arrow().to_pydict()
+    assert got == want

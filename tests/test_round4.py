@@ -22,7 +22,7 @@ MUST_VERIFY = {
     "docs_pack_sequences",
     # new in round 5
     "dedup_exact_substr", "docs_dup_span_strip", "docs_novelty",
-    "docs_winnowing",
+    "docs_winnowing", "docs_winnow_sim_topk",
     "conv_response_latency", "conv_role_balance", "conv_context_growth",
     "conv_truncate_context", "conv_error_bursts", "conv_session_splits",
     # pipeline/oracle touched in round 5 (deterministic-order fix: final
@@ -40,13 +40,13 @@ MUST_VERIFY = {
     "sessions", "conv_first_error", "events_value_range",
     "events_props_k_sum", "conv_tool_transitions", "events_by_segment",
     "flagged_conv_turns", "events_value_linfit",
-    # last driver-green in r02 (longest unverified); the other seven r02
-    # tier-C entries (docs_fingerprint/docs_scrub/docs_decontaminate/
-    # docs_vocab_topk/docs_sample_hash/docs_length_quantiles/corpus_prep)
-    # were rotated past slot 50 to make room for the seven new
-    # never-driver-checked round-5 queries — never-checked outranks
-    # longest-unverified-but-green per the policy
-    "ann_cosine_topk", "docs_lang_id",
+    # last driver-green in r02 (longest unverified); the other eight r02
+    # tier-C entries (docs_lang_id/docs_fingerprint/docs_scrub/
+    # docs_decontaminate/docs_vocab_topk/docs_sample_hash/
+    # docs_length_quantiles/corpus_prep) were rotated past slot 50 to make
+    # room for the eight new never-driver-checked round-5 queries —
+    # never-checked outranks longest-unverified-but-green per the policy
+    "ann_cosine_topk",
 }
 
 
