@@ -4602,16 +4602,20 @@ def _winnow_pairs_block(batch: pa.Table) -> pa.Table:
     ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, h))
     h, ids = h[order], ids[order]
-    bounds = np.flatnonzero(np.r_[True, h[1:] != h[:-1], True])
+    starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+    sizes = np.diff(np.append(starts, h.size))
     out_a, out_b = [], []
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        sz = e - s
-        if sz < 2 or sz > WINNOW_HOT_CAP:
+    # vectorize by SIZE CLASS: the cap bounds bucket size at
+    # WINNOW_HOT_CAP, so at most CAP-1 gather rounds replace the
+    # per-bucket Python loop (10^5+ tiny buckets at scale)
+    for sz in range(2, WINNOW_HOT_CAP + 1):
+        sel = starts[sizes == sz]
+        if sel.size == 0:
             continue
-        bucket = ids[s:e]                       # already distinct + sorted
+        mat = ids[sel[:, None] + np.arange(sz)]     # (n_buckets, sz)
         i, j = np.triu_indices(sz, 1)
-        out_a.append(bucket[i])
-        out_b.append(bucket[j])
+        out_a.append(mat[:, i].ravel())
+        out_b.append(mat[:, j].ravel())
     if not out_a:
         return empty
     rows = np.stack([np.concatenate(out_a), np.concatenate(out_b)], axis=1)
@@ -4619,6 +4623,30 @@ def _winnow_pairs_block(batch: pa.Table) -> pa.Table:
     return pa.table({"a": pa.array(uniq[:, 0], type=pa.int64()),
                      "b": pa.array(uniq[:, 1], type=pa.int64()),
                      "n": pa.array(cnt, type=pa.int64())})
+
+
+_WINNOW_PAIR_ORDER = [("n_shared", "descending"), ("a", "ascending"),
+                      ("b", "ascending")]
+
+
+def _winnow_pairs_merge(batch: pa.Table) -> pa.Table:
+    """(a, b)-exclusive partition: final per-pair fingerprint-overlap sums
+    (one vectorized arrow group_by instead of a 10^5-group Ray groupby),
+    then the LOCAL top-k — each pair is finalized in exactly one
+    partition, so the global top-k is contained in the union of the
+    per-partition top-ks."""
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64()),
+                      "n_shared": pa.array([], type=pa.int64())})
+    if batch.num_rows == 0:
+        return empty
+    t = batch.group_by(["a", "b"]).aggregate([("n", "sum")]) \
+        .rename_columns(["a", "b", "n_shared"])
+    return t.sort_by(_WINNOW_PAIR_ORDER).slice(0, WINNOW_SIM_K)
+
+
+def _winnow_final_topk(t: pa.Table) -> pa.Table:
+    return t.sort_by(_WINNOW_PAIR_ORDER).slice(0, WINNOW_SIM_K)
 
 
 def docs_winnow_sim_topk(sf_dir: str) -> Dataset:
@@ -4631,18 +4659,17 @@ def docs_winnow_sim_topk(sf_dir: str) -> Dataset:
     the grams); candidate pairs form within a fingerprint bucket only
     (never all pairs); hot fingerprints are capped at WINNOW_HOT_CAP docs
     (common-phrase buckets carry no signal — the PPJoin-cap convention);
-    per-block pair pre-aggregation bounds the (a, b) exchange; top-k is a
-    distributed sort+limit."""
-    from ray.data.aggregate import Sum
-
+    per-block pair pre-aggregation bounds the (a, b) exchange; the pair
+    sums are one more keyed-block pass with a LOCAL top-k per partition,
+    so the final exchange is <= partitions x K rows."""
     docs = _docs(sf_dir, ["doc_id", "text"])
     fp_rows = docs.map_batches(
         _winnow_fp_rows, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    partials = _keyed_blocks(fp_rows, ["h"], _winnow_pairs_block)
-    pairs = partials.groupby(["a", "b"]).aggregate(
-        Sum("n", alias_name="n_shared")
+    partials = _keyed_blocks(
+        fp_rows, ["h"], _winnow_pairs_block
+    ).materialize()
+    local_top = _keyed_blocks(partials, ["a", "b"], _winnow_pairs_merge)
+    return local_top.repartition(1).map_batches(
+        _winnow_final_topk, batch_format="pyarrow", batch_size=None
     )
-    return pairs.sort(
-        ["n_shared", "a", "b"], descending=[True, False, False]
-    ).limit(WINNOW_SIM_K)
