@@ -279,7 +279,21 @@ def run_scaling() -> dict:
     }
 
 
+def _wait_for_quiet(threshold: float = 4.0, max_wait_s: int = 300) -> None:
+    """Best-effort quiet-box guard (BASELINE.md protocol): if the 1-min
+    loadavg shows co-tenant load at start, wait for it to settle before
+    measuring — a loaded-box sample reads as a regression. Bounded wait;
+    the recorded per-run loadavgs still tell the story if it never
+    settles. Disable with BENCH_NO_WAIT=1."""
+    if os.environ.get("BENCH_NO_WAIT") == "1":
+        return
+    deadline = time.monotonic() + max_wait_s
+    while os.getloadavg()[0] > threshold and time.monotonic() < deadline:
+        time.sleep(10)
+
+
 if __name__ == "__main__":
+    _wait_for_quiet()
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

@@ -281,3 +281,75 @@ FROM fph x JOIN fph y ON x.h = y.h AND x.doc_id < y.doc_id
 JOIN ok ON ok.h = x.h
 GROUP BY x.doc_id, y.doc_id ORDER BY a, b""").arrow().to_pydict()
     assert got == want
+
+
+# --- naive-reference fuzz (independent of BOTH the kernel and the SQL) --------
+
+def _naive_winnow(text: str):
+    """Textbook winnowing (Schleimer et al. 2003 Fig. 5 shape): explicit
+    per-window scan with the rightmost-min tie rule, over gram_hashes()."""
+    from pgweasel_ray import hashing as H
+    from pgweasel_ray.pipelines.dataprep import WINNOW_W
+
+    g = [int(x) for x in H.gram_hashes(text)]
+    m = len(g)
+    sel = set()                                   # (pos, hash)
+    for p in range(max(m - WINNOW_W + 1, 1)):
+        window = g[p:p + WINNOW_W]
+        best, best_pos = None, None
+        for off, hv in enumerate(window):         # rightmost min: <= keeps
+            if best is None or hv <= best:        # replacing on ties
+                best, best_pos = hv, p + off
+        sel.add((best_pos, best))
+    return sel
+
+
+@pytest.mark.parametrize("seed", [1, 13, 555])
+def test_winnow_kernel_matches_naive_reference(seed):
+    from pgweasel_ray.pipelines.dataprep import _winnow_block
+
+    docs = _random_docs(seed, n_docs=30)
+    out = _winnow_block(docs).to_pydict()
+    for i, text in enumerate(docs["text"].to_pylist()):
+        sel = _naive_winnow(text)
+        hashes = {h for _, h in sel}
+        row = out["doc_id"].index(i)
+        assert out["n_fp"][row] == len(sel), f"doc {i}: position count"
+        assert out["n_distinct_fp"][row] == len(hashes), f"doc {i}"
+        xor = 0
+        for h in hashes:
+            xor ^= h
+        assert out["fp_xor"][row] == xor, f"doc {i}: xor"
+
+
+def _naive_truncate(turns, budget):
+    """Explicit backwards walk: keep turns from the end while the running
+    token total stays within budget."""
+    kept, total = [], 0
+    for turn_idx, toks in sorted(turns, reverse=True):
+        if total + toks > budget:
+            break
+        total += toks
+        kept.append(turn_idx)
+    return len(kept), total, (min(kept) if kept else -1)
+
+
+@pytest.mark.parametrize("seed", [21, 84])
+def test_truncate_kernel_matches_naive_reference(seed):
+    from pgweasel_ray.pipelines.windows import _truncate_block
+
+    rng = np.random.default_rng(seed)
+    tbl = _random_transcripts(seed, n_convs=15)
+    budget = int(rng.integers(1, 40))
+    out = _truncate_block(tbl, budget=budget).sort_by("conv_id").to_pydict()
+    # group turns per conv from the raw table
+    convs = {}
+    for cid, tix, text in zip(tbl["conv_id"].to_pylist(),
+                              tbl["turn_idx"].to_pylist(),
+                              tbl["text"].to_pylist()):
+        convs.setdefault(cid, []).append((tix, len(text.split())))
+    for row, cid in enumerate(out["conv_id"]):
+        n_kept, kept_tokens, first = _naive_truncate(convs[cid], budget)
+        assert out["n_kept"][row] == n_kept, (cid, budget)
+        assert out["kept_tokens"][row] == kept_tokens, (cid, budget)
+        assert out["first_kept_turn"][row] == first, (cid, budget)
