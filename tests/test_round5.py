@@ -87,6 +87,11 @@ def test_every_shuffle_ending_oracle_has_top_level_order_by():
         "events_value_range", "events_props_k_sum", "conv_tool_transitions",
         "events_by_segment", "flagged_conv_turns", "docs_pack_sequences",
         "dedup_exact_substr",
+        # round-5 additions (all shuffle-ending)
+        "docs_dup_span_strip", "docs_novelty", "docs_winnowing",
+        "docs_winnow_sim_topk", "conv_response_latency",
+        "conv_role_balance", "conv_context_growth",
+        "conv_truncate_context", "conv_error_bursts", "conv_session_splits",
     ]
     for name in fixed_r5:
         sql = sqls[name]
