@@ -23,7 +23,18 @@ def to_df(result) -> pd.DataFrame:
 
     if isinstance(result, pa.Table):
         return result.to_pandas()
-    return result.to_pandas()  # ray Dataset
+    df = result.to_pandas()  # ray Dataset
+    if df.empty and len(df.columns) == 0:
+        # Ray's to_pandas() drops the schema for 0-row datasets; rebuild
+        # the typed empty frame so an empty result still schema-compares
+        # (found by the random-events differential: a random table with
+        # zero anomalous buckets reported SCHEMA MISMATCH ray=[])
+        schema = result.schema()
+        empty = pa.schema(
+            list(zip(schema.names, schema.types))
+        ).empty_table()
+        return empty.to_pandas()
+    return df
 
 
 def normalize(df: pd.DataFrame, sort_rows: bool = True) -> pd.DataFrame:

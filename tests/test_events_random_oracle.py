@@ -1,0 +1,80 @@
+"""Ray-vs-DuckDB parity for the round-4/5 events operators on RANDOM event
+tables (not just the driver fixture): seeded generators with skewed types,
+duplicate values (quantile/MAD tie paths), and multi-day spans. The oracle
+SQL is the exact per-query SQL the driver runs (build_oracles), re-bound to
+the random table via duckdb_with_views — distribution-independent evidence
+for the queries the round-5 window gates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pgweasel_ray.pipelines import events as events_mod
+import duckdb
+
+from pgweasel_ray.testing import compare, to_df
+
+TYPES = ["click", "view", "purchase", "signup", "error", "scroll"]
+
+
+def _random_events(seed: int, n: int = 4000) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    # multi-day span starting well past LINFIT_EPOCH0 (2024-01-01): the
+    # floor-div quantization hazard documented at events.py LINFIT_EPOCH0
+    t0 = np.datetime64("2025-05-21T00:00:00", "us")
+    ts = t0 + np.sort(rng.integers(0, 4 * 86_400_000_000, n)) \
+        .astype("timedelta64[us]")
+    # skewed types; duplicate-heavy values exercise selection ties
+    type_idx = np.minimum(rng.geometric(0.45, n) - 1, len(TYPES) - 1)
+    values = rng.integers(0, 200, n).astype(np.float64) / 8.0
+    return pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 97, n), type=pa.int64()),
+        "event_type": pa.array([TYPES[i] for i in type_idx]),
+        "value": pa.array(values, type=pa.float64()),
+        "props": pa.array(["{}"] * n),
+    })
+
+
+@pytest.fixture(scope="module", params=[17, 907])
+def events_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"revents{request.param}")
+    pq.write_table(_random_events(request.param), d / "events.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracles():
+    # events SQL reads only the `events` view — sf-independent, so the
+    # driver-fixture build re-binds cleanly to the random table
+    from pgweasel_ray.oracle_queries import build_oracles
+
+    return build_oracles("/root/testdata/sf0.001")
+
+
+QUERIES = [
+    "events_value_mad",
+    "events_daily_top_types",
+    "events_value_bins",
+    "events_value_hist_quantiles",
+    "events_value_quantiles",
+    "events_top_types",
+    "events_anomaly",
+]
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_events_query_matches_oracle_on_random_table(
+        events_dir, oracles, name):
+    fn = getattr(events_mod, name)
+    got = to_df(fn(events_dir))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{events_dir}/events.parquet')")
+    want = con.sql(oracles[name]).df()
+    verdict = compare(got, want)
+    assert verdict == "OK", f"{name}: {verdict}"
