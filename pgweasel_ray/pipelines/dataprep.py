@@ -1495,7 +1495,16 @@ def _km_quantize(emb_col) -> np.ndarray:
     mat = np.asarray(emb_col.flatten(), dtype=np.float64).reshape(
         len(emb_col), -1
     )
-    return np.floor(mat * CENTROID_SCALE).astype(np.int64) + KM_SHIFT
+    q = np.floor(mat * CENTROID_SCALE).astype(np.int64) + KM_SHIFT
+    # domain guard (ADVICE-r4 pattern): the shift makes // floor/truncate
+    # agree ONLY for components >= -1; out-of-range embeddings would
+    # silently diverge from the oracle by one ULP on negative means
+    if q.size and q.min() < 0:
+        raise ValueError(
+            "embed_kmeans: embedding component < -1; KM_SHIFT fixed-point "
+            "contract requires components in [-1, 1] (normalize rows)"
+        )
+    return q
 
 
 def _km_assign_partials(batch: pa.Table, cref) -> pa.Table:
