@@ -36,7 +36,8 @@ def _random_events(seed: int, n: int = 4000) -> pa.Table:
         "user_id": pa.array(rng.integers(0, 97, n), type=pa.int64()),
         "event_type": pa.array([TYPES[i] for i in type_idx]),
         "value": pa.array(values, type=pa.float64()),
-        "props": pa.array(["{}"] * n),
+        "props": pa.array(
+            [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, n)]),
     })
 
 
@@ -64,13 +65,29 @@ QUERIES = [
     "events_value_quantiles",
     "events_top_types",
     "events_anomaly",
+    # round-5 extension: the full windowed/join/session family
+    "events_per_hour",
+    "events_sliding_avg",
+    "events_props_k_sum",
+    "events_value_corr",
+    "events_value_linfit",
+    "events_value_range",
+    "events_asof_prior",
+    "events_range_join",
+    "events_funnel",
+    "events_retention",
+    "events_user_sessions",
+    "events_user_sessions_salted",
+    "events_late_arrivals",
 ]
 
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_events_query_matches_oracle_on_random_table(
         events_dir, oracles, name):
-    fn = getattr(events_mod, name)
+    from pgweasel_ray.pipelines import windows as windows_pipe
+
+    fn = getattr(events_mod, name, None) or getattr(windows_pipe, name)
     got = to_df(fn(events_dir))
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM "
