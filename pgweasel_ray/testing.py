@@ -28,8 +28,12 @@ def to_df(result) -> pd.DataFrame:
         # Ray's to_pandas() drops the schema for 0-row datasets; rebuild
         # the typed empty frame so an empty result still schema-compares
         # (found by the random-events differential: a random table with
-        # zero anomalous buckets reported SCHEMA MISMATCH ray=[])
+        # zero anomalous buckets reported SCHEMA MISMATCH ray=[]). A
+        # dataset whose every block was pruned (e.g. a sort over an
+        # all-filtered stream) has NO schema at all — nothing to rebuild.
         schema = result.schema()
+        if schema is None:
+            return df
         empty = pa.schema(
             list(zip(schema.names, schema.types))
         ).empty_table()
