@@ -1739,6 +1739,24 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT
          AS n_bpe_tokens
 FROM documents""",
+        # sliding-window chunk geometry: starts 0, S, 2S, ... < n_toks;
+        # width min(W, n_toks - start); all-int64 => bit-exact parity
+        "docs_chunk_overlap": rf"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_toks
+  FROM documents
+), c AS (
+  SELECT doc_id, n_toks,
+         unnest(range(0, n_toks, {dataprep.CHUNK_STRIDE_TOKENS}))
+           AS start_tok
+  FROM t WHERE n_toks > 0
+)
+SELECT doc_id,
+       (start_tok // {dataprep.CHUNK_STRIDE_TOKENS})::BIGINT AS chunk_idx,
+       start_tok::BIGINT AS start_tok,
+       least({dataprep.CHUNK_WINDOW_TOKENS}, n_toks - start_tok)::BIGINT
+         AS n_tok
+FROM c ORDER BY doc_id, chunk_idx""",
         "docs_quality": r"""
 SELECT doc_id,
        len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
@@ -1847,6 +1865,35 @@ SELECT tool, count(*)::BIGINT AS n_resp,
        max(ts_us - prev_ts)::BIGINT AS max_lat_us
 FROM t WHERE prev_role = 'user' AND role = 'assistant'
 GROUP BY tool ORDER BY tool""",
+        # gaps-and-islands over assistant turns: a run = consecutive
+        # identical non-null tools in turn_idx order; loop = run >= 3
+        "conv_loop_detect": f"""
+WITH a AS (
+  SELECT conv_id, tool,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM read_parquet('{glob}') WHERE role = 'assistant'
+), g AS (
+  SELECT conv_id, tool,
+         rn - row_number() OVER (PARTITION BY conv_id, tool ORDER BY rn)
+           AS grp
+  FROM a WHERE tool IS NOT NULL
+), r AS (
+  SELECT conv_id, count(*) AS run_len FROM g GROUP BY conv_id, tool, grp
+), s AS (
+  SELECT conv_id, count(*)::BIGINT AS n_assist,
+         count(tool)::BIGINT AS n_tool_calls
+  FROM a GROUP BY conv_id
+), m AS (
+  SELECT conv_id, max(run_len) AS max_run,
+         sum(CASE WHEN run_len >= {windows_mod.LOOP_RUN_MIN}
+             THEN 1 ELSE 0 END) AS n_loops
+  FROM r GROUP BY conv_id
+)
+SELECT s.conv_id, s.n_assist, s.n_tool_calls,
+       coalesce(m.max_run, 0)::BIGINT AS max_run,
+       coalesce(m.n_loops, 0)::BIGINT AS n_loops
+FROM s LEFT JOIN m ON s.conv_id = m.conv_id
+ORDER BY s.conv_id""",
         "conv_role_balance": f"""
 SELECT role, count(DISTINCT conv_id)::BIGINT AS n_convs,
        count(*)::BIGINT AS n_turns,

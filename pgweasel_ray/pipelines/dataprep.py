@@ -3261,6 +3261,66 @@ def docs_pack_sequences(sf_dir: str) -> Dataset:
     # bounded: total_tokens/PACK_SEQ_TOKENS rows at any scale)
 
 
+# --- sliding-window chunking (RAG / retrieval prep) ----------------------------
+
+CHUNK_WINDOW_TOKENS = 64   # chunk width (whitespace tokens)
+CHUNK_STRIDE_TOKENS = 48   # stride between chunk starts (=> 16-token overlap)
+
+_CHUNK_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("chunk_idx", pa.int64()),
+     ("start_tok", pa.int64()), ("n_tok", pa.int64())]
+)
+
+
+def _chunk_spans(batch: pa.Table, window: int, stride: int) -> pa.Table:
+    """Expand each doc into its sliding-window chunk geometry — one
+    vectorized repeat/arange pass, no per-doc Python loop. Chunk k of a
+    doc with n tokens covers [k*stride, k*stride + min(window, n - k*stride));
+    starts run 0, stride, 2*stride, ... while < n (so the tail is always
+    covered and a sub-stride tail still gets its own short chunk, the
+    standard overlap-chunker law). Zero-token docs emit no chunks."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = pc.count_substring_regex(
+        batch["text"], TOKEN_PATTERN
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    k = (n + stride - 1) // stride          # ceil(n/stride); 0 when n == 0
+    total = int(k.sum())
+    if total == 0:
+        return _CHUNK_SCHEMA.empty_table()
+    doc = np.repeat(ids, k)
+    offsets = np.concatenate(([0], np.cumsum(k)[:-1]))
+    chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(offsets, k)
+    start = chunk_idx * stride
+    n_tok = np.minimum(window, np.repeat(n, k) - start)
+    return pa.table(
+        {"doc_id": pa.array(doc, type=pa.int64()),
+         "chunk_idx": pa.array(chunk_idx, type=pa.int64()),
+         "start_tok": pa.array(start, type=pa.int64()),
+         "n_tok": pa.array(n_tok, type=pa.int64())}
+    )
+
+
+def docs_chunk_overlap(sf_dir: str) -> Dataset:
+    """Sliding-window chunking: split every document into
+    CHUNK_WINDOW_TOKENS-token chunks advancing CHUNK_STRIDE_TOKENS tokens
+    per step (16-token overlap) — the retrieval/RAG indexing prep that
+    feeds an embedding stage, and the windowed twin of the packing law
+    (docs_pack_sequences concatenates docs INTO fixed windows; this splits
+    docs into overlapping windows). Output: one row per chunk with its
+    (doc_id, chunk_idx, start_tok, n_tok) geometry, all-int64 for bit-exact
+    oracle parity.
+
+    Scale shape: a pure map — vectorized RE2 token count + one
+    repeat/arange expansion per batch, zero shuffle before the final
+    deterministic-order sort; output is ~n_tokens/stride rows regardless
+    of document skew (a 10^9-token doc expands inside its own blocks)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _chunk_spans, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"window": CHUNK_WINDOW_TOKENS,
+                   "stride": CHUNK_STRIDE_TOKENS},
+    ).sort(["doc_id", "chunk_idx"])  # deterministic driver-hash order
+
+
 # --- Gopher-style composite quality filter -------------------------------------
 
 GOPHER_MIN_WORDS = 50

@@ -1117,3 +1117,89 @@ def conv_session_splits(sf_dir: str) -> Dataset:
         fn_kwargs={"gap_us": CONV_SPLIT_GAP_US},
     )
     return out.sort("conv_id")
+
+
+LOOP_RUN_MIN = 3  # a run of >= this many consecutive same-tool calls is a loop
+
+_LOOP_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("n_assist", pa.int64()),
+    ("n_tool_calls", pa.int64()), ("max_run", pa.int64()),
+    ("n_loops", pa.int64()),
+])
+
+
+def _loop_detect_block(batch: pa.Table, run_min: int) -> pa.Table:
+    """Tool-loop runs for one conv-exclusive partition: filter to assistant
+    turns, lexsort by (conv_id, turn_idx), segment maximal runs of
+    consecutive identical non-null tools, then per-conv reduceat over the
+    run-length axis (runs arrive in conv order, so conv groups of runs are
+    contiguous). A null tool breaks a run and joins none."""
+    import numpy as np
+
+    if batch.num_rows == 0:
+        return _LOOP_SCHEMA.empty_table()
+    t = batch.filter(pc.equal(batch["role"], "assistant"))
+    if t.num_rows == 0:
+        return _LOOP_SCHEMA.empty_table()
+    conv = t["conv_id"].to_numpy(zero_copy_only=False)
+    turn = t["turn_idx"].to_numpy(zero_copy_only=False)
+    tool_col = t["tool"].combine_chunks() if isinstance(
+        t["tool"], pa.ChunkedArray) else t["tool"]
+    has_tool = pc.is_valid(tool_col).to_numpy(zero_copy_only=False)
+    tool = tool_col.to_numpy(zero_copy_only=False)
+    order = np.lexsort((turn, conv))
+    conv, tool, has_tool = conv[order], tool[order], has_tool[order]
+
+    same_conv = np.concatenate(([False], conv[1:] == conv[:-1]))
+    starts = np.flatnonzero(~same_conv)
+    n_assist = np.diff(np.append(starts, conv.size))
+    n_tool_calls = np.add.reduceat(has_tool.astype(np.int64), starts)
+    # n_tool_calls: reduceat over an all-False group still sums that group's
+    # slice correctly (slice sums, not first-element picks), so zeros hold.
+
+    same_tool = np.zeros(conv.size, dtype=bool)
+    same_tool[1:] = (same_conv[1:] & has_tool[1:] & has_tool[:-1]
+                     & (tool[1:] == tool[:-1]))
+    run_start = has_tool & ~same_tool
+    max_run = np.zeros(starts.size, dtype=np.int64)
+    n_loops = np.zeros(starts.size, dtype=np.int64)
+    run_pos = np.flatnonzero(run_start)
+    if run_pos.size:
+        rid = np.cumsum(run_start) - 1
+        run_len = np.bincount(rid[has_tool]).astype(np.int64)
+        run_conv = np.searchsorted(starts, run_pos, side="right") - 1
+        conv_with_runs, first_run = np.unique(run_conv, return_index=True)
+        max_run[conv_with_runs] = np.maximum.reduceat(run_len, first_run)
+        n_loops[conv_with_runs] = np.add.reduceat(
+            (run_len >= run_min).astype(np.int64), first_run)
+    return pa.table({
+        "conv_id": pa.array(conv[starts], type=pa.string()),
+        "n_assist": pa.array(n_assist, type=pa.int64()),
+        "n_tool_calls": pa.array(n_tool_calls, type=pa.int64()),
+        "max_run": pa.array(max_run, type=pa.int64()),
+        "n_loops": pa.array(n_loops, type=pa.int64()),
+    }).cast(_LOOP_SCHEMA)
+
+
+def conv_loop_detect(sf_dir: str) -> Dataset:
+    """Agent-loop detection: per conversation, the longest run of
+    consecutive assistant turns invoking the SAME tool (turn_idx order,
+    null tools break runs) and how many runs reach LOOP_RUN_MIN — the
+    stuck-agent telemetry a transcript pipeline runs before spending
+    training budget on looping conversations (the transcript-axis
+    counterpart of the reference's repeated-error triage, errors.rs top
+    messages). Convs with no assistant turns emit no row.
+
+    Scale shape: identical to conv_session_splits — one hash partition by
+    conv_id, one vectorized lexsort+run-segmentation+reduceat pass per
+    partition, bounded |convs|-row all-int64 output."""
+    from .dataprep import _keyed_blocks
+
+    ds = read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "tool"]
+    ).materialize()
+    out = _keyed_blocks(
+        ds, ["conv_id"], _loop_detect_block,
+        fn_kwargs={"run_min": LOOP_RUN_MIN},
+    )
+    return out.sort("conv_id")

@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_truncate_context": windows.conv_truncate_context,
         "conv_error_bursts": core.conv_error_bursts,
         "conv_session_splits": windows.conv_session_splits,
+        "docs_chunk_overlap": dataprep.docs_chunk_overlap,
+        "conv_loop_detect": windows.conv_loop_detect,
         # --- tier B: pipeline/oracle touched in round 5 --------------------
         # (deterministic-order fix: final sort + matching oracle ORDER BY)
         "dedup_chunks": dataprep.dedup_chunks,
@@ -87,19 +89,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "errors_by_severity": core.errors_by_severity,
         "errors_window": core.errors_window,       # F2 time range
         "slow_list": core.slow_list,
-        "system": core.system,
         "connections_by_host": core.connections_by_host,
         "sessions": core.sessions,
         "conv_first_error": core.conv_first_error,
         "events_value_range": events.events_value_range,
-        "events_props_k_sum": events.events_props_k_sum,
         "conv_tool_transitions": windows.conv_tool_transitions,
         "events_by_segment": windows.events_by_segment,
         "flagged_conv_turns": windows.flagged_conv_turns,
         "events_value_linfit": events.events_value_linfit,
         # --- tier C: last driver-green in r02 (longest unverified) ---------
         "ann_cosine_topk": dataprep.ann_cosine_topk,
-        # ---- slot 50 boundary: entries below were driver-green in r03/r04
+        # ---- slot 50 boundary ----------------------------------------------
+        # `system` and `events_props_k_sum` (both green r01+r02+r03,
+        # order-only change this round) rotated out mid-round-5 to admit
+        # the two new never-driver-checked queries (docs_chunk_overlap,
+        # conv_loop_detect); their exact code paths stay gated in-window
+        # via slow_list (record-list sort) and events_value_range (events
+        # groupby) respectively:
+        "system": core.system,
+        "events_props_k_sum": events.events_props_k_sum,
+        # Entries below were driver-green in r03/r04
         # and are untouched this round (eight r02-green tier-C entries —
         # docs_lang_id/docs_fingerprint/docs_scrub/docs_decontaminate/
         # docs_vocab_topk/docs_sample_hash/docs_length_quantiles/

@@ -25,8 +25,13 @@ MUST_VERIFY = {
     "docs_winnowing", "docs_winnow_sim_topk",
     "conv_response_latency", "conv_role_balance", "conv_context_growth",
     "conv_truncate_context", "conv_error_bursts", "conv_session_splits",
+    "docs_chunk_overlap", "conv_loop_detect",
     # pipeline/oracle touched in round 5 (deterministic-order fix: final
     # sort + matching oracle ORDER BY; multimodal pool sizing; guards)
+    # (`system` and `events_props_k_sum`, both green r01+r02+r03 with an
+    # order-only change this round, rotated out mid-round-5 to admit the
+    # two new never-driver-checked queries above — their code paths stay
+    # gated via slow_list and events_value_range)
     "dedup_chunks", "docs_strip_boilerplate", "docs_tfidf_topk",
     "dedup_incremental", "events_user_sessions",
     "events_user_sessions_salted", "multimodal_image_stats",
@@ -35,10 +40,10 @@ MUST_VERIFY = {
     "docs_kmv_distinct", "dedup_exact", "dedup_minhash",
     "dedup_ngram_jaccard", "dedup_simhash", "docs_semdedup",
     "embed_neardup", "events_asof_prior",
-    "errors_by_severity", "errors_window", "slow_list", "system",
+    "errors_by_severity", "errors_window", "slow_list",
     "connections_by_host",
     "sessions", "conv_first_error", "events_value_range",
-    "events_props_k_sum", "conv_tool_transitions", "events_by_segment",
+    "conv_tool_transitions", "events_by_segment",
     "flagged_conv_turns", "events_value_linfit",
     # last driver-green in r02 (longest unverified); the other eight r02
     # tier-C entries (docs_lang_id/docs_fingerprint/docs_scrub/

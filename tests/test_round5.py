@@ -92,6 +92,7 @@ def test_every_shuffle_ending_oracle_has_top_level_order_by():
         "docs_winnow_sim_topk", "conv_response_latency",
         "conv_role_balance", "conv_context_growth",
         "conv_truncate_context", "conv_error_bursts", "conv_session_splits",
+        "docs_chunk_overlap", "conv_loop_detect",
     ]
     for name in fixed_r5:
         sql = sqls[name]
@@ -346,3 +347,78 @@ def test_weighted_sample_keep_rule_against_independent_length(sf_dir):
     # changes n_chars semantics, this breaks loudly instead of silently
     assert (rule["true_len"] == rule["n_chars"]).all()
     assert set(kept["doc_id"]) <= set(rule["doc_id"])
+
+
+# --- docs_chunk_overlap / conv_loop_detect kernel laws ----------------------------
+
+def test_chunk_spans_geometry_edges():
+    """Chunk geometry law on the edge lengths: empty doc emits nothing;
+    one token = one chunk; exactly one stride = one chunk; stride+1 = two
+    chunks (short tail chunk); exactly one window = two chunks (the
+    overlap tail)."""
+    from pgweasel_ray.pipelines import dataprep as dp
+
+    W, S = dp.CHUNK_WINDOW_TOKENS, dp.CHUNK_STRIDE_TOKENS
+    texts = ["", "tok", " ".join(["t"] * S), " ".join(["t"] * (S + 1)),
+             " ".join(["t"] * W)]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    out = dp._chunk_spans(batch, W, S).to_pandas()
+    by_doc = {d: g for d, g in out.groupby("doc_id")}
+    assert 0 not in by_doc                                   # empty doc
+    assert by_doc[1]["n_tok"].tolist() == [1]                # single token
+    assert by_doc[2]["n_tok"].tolist() == [S]                # one stride
+    assert by_doc[3]["start_tok"].tolist() == [0, S]         # stride + 1
+    assert by_doc[3]["n_tok"].tolist() == [S + 1, 1]
+    assert by_doc[4]["start_tok"].tolist() == [0, S]         # one window
+    assert by_doc[4]["n_tok"].tolist() == [W, W - S]
+    # every chunk's span stays inside its doc and covers it exactly
+    assert (out["n_tok"] > 0).all()
+    assert (out["chunk_idx"] * S == out["start_tok"]).all()
+
+
+def test_loop_detect_planted_runs_and_null_breaks():
+    """Planted conv: run of 3 same-tool calls (a loop), a null tool that
+    breaks a would-be run, a conv with no assistant turns emits no row."""
+    from pgweasel_ray.pipelines import windows as W
+
+    batch = pa.table({
+        "conv_id": pa.array(["a"] * 7 + ["b"] * 2 + ["c"]),
+        "turn_idx": pa.array([0, 1, 2, 3, 4, 5, 6, 0, 1, 0],
+                             type=pa.int32()),
+        "role": pa.array(["assistant"] * 7 + ["assistant"] * 2 + ["user"]),
+        "tool": pa.array(["x", "x", "x", "y", None, "y", "y",
+                          "z", None, "z"]),
+    })
+    out = W._loop_detect_block(batch, W.LOOP_RUN_MIN).to_pandas() \
+        .set_index("conv_id")
+    # conv a: runs x,x,x | y | (null) | y,y -> max 3, one loop, 6 calls
+    assert out.loc["a", "n_assist"] == 7
+    assert out.loc["a", "n_tool_calls"] == 6
+    assert out.loc["a", "max_run"] == 3
+    assert out.loc["a", "n_loops"] == 1
+    # conv b: z | null -> max 1, no loops
+    assert out.loc["b", "max_run"] == 1 and out.loc["b", "n_loops"] == 0
+    assert out.loc["b", "n_tool_calls"] == 1
+    # conv c has no assistant turns -> no row
+    assert "c" not in out.index
+
+
+def test_loop_detect_all_null_tools_conv():
+    """A conv whose assistant turns all lack a tool still reports
+    n_assist with max_run = n_loops = 0."""
+    from pgweasel_ray.pipelines import windows as W
+
+    batch = pa.table({
+        "conv_id": pa.array(["q", "q"]),
+        "turn_idx": pa.array([0, 1], type=pa.int32()),
+        "role": pa.array(["assistant", "assistant"]),
+        "tool": pa.array([None, None], type=pa.string()),
+    })
+    out = W._loop_detect_block(batch, W.LOOP_RUN_MIN).to_pandas()
+    assert out["n_assist"].tolist() == [2]
+    assert out["n_tool_calls"].tolist() == [0]
+    assert out["max_run"].tolist() == [0]
+    assert out["n_loops"].tolist() == [0]
