@@ -199,6 +199,9 @@ def run_bench() -> dict:
         timed_e2e("conv_error_bursts", core_mod.conv_error_bursts, SF_DIR)
         timed_e2e("conv_session_splits",
                   windows.conv_session_splits, SF_DIR)
+        timed_e2e("docs_chunk_overlap",
+                  dataprep.docs_chunk_overlap, SF_DIR)
+        timed_e2e("conv_loop_detect", windows.conv_loop_detect, SF_DIR)
         timed_e2e("events_late_arrivals",
                   events.events_late_arrivals, SF_DIR)
         timed_e2e("events_value_linfit",
