@@ -202,6 +202,11 @@ def run_bench() -> dict:
         timed_e2e("docs_chunk_overlap",
                   dataprep.docs_chunk_overlap, SF_DIR)
         timed_e2e("conv_loop_detect", windows.conv_loop_detect, SF_DIR)
+        timed_e2e("docs_type_token_stats",
+                  dataprep.docs_type_token_stats, SF_DIR)
+        timed_e2e("conv_context_cost", windows.conv_context_cost, SF_DIR)
+        timed_e2e("embed_kcenter_coreset",
+                  dataprep.embed_kcenter_coreset, SF_DIR)
         timed_e2e("events_late_arrivals",
                   events.events_late_arrivals, SF_DIR)
         timed_e2e("events_value_linfit",

@@ -1126,6 +1126,44 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, {dim + 1})) AS i) g
 ORDER BY c.cluster, dim_idx"""
 
 
+def _kcenter_sql(sf_dir: str) -> str:
+    """Greedy k-center replayed selection by selection: same shifted
+    fixed-point quantization, same seed rule (smallest vec_id, cover_d2 0),
+    same exact int64 min-distance to the selected set, same argmax rule
+    (d2 DESC, vec_id ASC) with already-selected ids excluded."""
+    k, s = dataprep.KC_K, dataprep.CENTROID_SCALE
+    dim = dataprep._embedding_dim(sf_dir)
+    iters = []
+    for t in range(1, k):
+        prev = f"s{t - 1}"
+        iters.append(f"""d{t} AS (
+  SELECT q.vec_id,
+         min(list_sum(list_transform(range(1, {dim + 1}),
+           i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i])))) AS md
+  FROM q CROSS JOIN (
+    SELECT q2.qv FROM q q2 JOIN {prev} sel ON q2.vec_id = sel.vec_id) c
+  WHERE q.vec_id NOT IN (SELECT vec_id FROM {prev})
+  GROUP BY q.vec_id
+), n{t} AS (
+  SELECT {t}::BIGINT AS sel_idx, vec_id, md::BIGINT AS cover_d2
+  FROM d{t} ORDER BY md DESC, vec_id LIMIT 1
+), s{t} AS (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM n{t}
+)""")
+        last = t
+    chain = ",\n".join(iters)
+    return f"""WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> floor(x::DOUBLE * {s})::BIGINT + {s}) AS qv
+  FROM embeddings
+), s0 AS (
+  SELECT 0::BIGINT AS sel_idx, vec_id, 0::BIGINT AS cover_d2
+  FROM q ORDER BY vec_id LIMIT 1
+),
+{chain}
+SELECT sel_idx, vec_id, cover_d2 FROM s{last} ORDER BY sel_idx"""
+
+
 def _char_entropy_sql() -> str:
     """Character entropy replayed literally: per-(doc, codepoint) counts via
     1-based char indexing + unicode(), same integer floor-log2 bits."""
@@ -1757,6 +1795,19 @@ SELECT doc_id,
        least({dataprep.CHUNK_WINDOW_TOKENS}, n_toks - start_tok)::BIGINT
          AS n_tok
 FROM c ORDER BY doc_id, chunk_idx""",
+        # two-phase exact distinct replayed as a plain (source, word)
+        # group-then-group; permille is integer floor division
+        "docs_type_token_stats": r"""
+WITH w AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS word
+  FROM documents
+), g AS (
+  SELECT source, word, count(*)::BIGINT AS c FROM w GROUP BY source, word
+)
+SELECT source, sum(c)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_distinct_tokens,
+       ((1000 * count(*)) // sum(c))::BIGINT AS type_token_permille
+FROM g GROUP BY source ORDER BY source""",
         "docs_quality": r"""
 SELECT doc_id,
        len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
@@ -1894,6 +1945,27 @@ SELECT s.conv_id, s.n_assist, s.n_tool_calls,
        coalesce(m.n_loops, 0)::BIGINT AS n_loops
 FROM s LEFT JOIN m ON s.conv_id = m.conv_id
 ORDER BY s.conv_id""",
+        # quadratic-context cost: each assistant turn re-reads the conv's
+        # prior chars (exclusive running sum) and emits its own
+        "conv_context_cost": f"""
+WITH t AS (
+  SELECT conv_id, role, length(text)::BIGINT AS ch,
+         coalesce(sum(length(text)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS prior_ch
+  FROM read_parquet('{glob}')
+)
+SELECT conv_id,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+         AS n_assist,
+       sum(CASE WHEN role = 'assistant' THEN prior_ch ELSE 0 END)::BIGINT
+         AS prompt_chars,
+       sum(CASE WHEN role = 'assistant' THEN ch ELSE 0 END)::BIGINT
+         AS gen_chars,
+       sum(CASE WHEN role = 'assistant' THEN prior_ch + ch ELSE 0 END)
+         ::BIGINT AS cost_chars
+FROM t GROUP BY conv_id ORDER BY conv_id""",
         "conv_role_balance": f"""
 SELECT role, count(DISTINCT conv_id)::BIGINT AS n_convs,
        count(*)::BIGINT AS n_turns,
@@ -2003,6 +2075,7 @@ ORDER BY bucket_ts, rank""",
         "events_value_corr": _value_corr_sql(),
         "docs_pmi_topk": _pmi_topk_sql(),
         "embed_kmeans_centroids": _kmeans_sql(sf_dir),
+        "embed_kcenter_coreset": _kcenter_sql(sf_dir),
         # equi-depth bins: ntile splits the sorted multiset at fixed ranks,
         # so per-bin (count, min, max) is tie-permutation-invariant
         "events_value_bins": f"""

@@ -1593,6 +1593,87 @@ def embed_kmeans_centroids(sf_dir: str) -> pd.DataFrame:
     })
 
 
+# --- k-center greedy coreset (farthest-point diversity selection) --------------
+
+KC_K = 8  # coreset size (selected centers)
+
+_KC_PARTIAL_SCHEMA = pa.schema(
+    [("vec_id", pa.int64()), ("d2", pa.int64())]
+)
+
+
+def _kcenter_partials(batch: pa.Table, cref, chosen_ref) -> pa.Table:
+    """One farthest-point scan over a block: exact int64 squared distance
+    of every (unselected) vector to its NEAREST already-selected center
+    (broadcast, shifted fixed-point — bit-identical to the oracle), then
+    the block's best candidate only (max d2, ties to the lowest vec_id).
+    Exactly ONE row leaves each block."""
+    import ray
+
+    C = ray.get(cref)                 # (t, dim) selected centers, quantized
+    chosen = ray.get(chosen_ref)      # selected vec_ids (excluded)
+    if batch.num_rows == 0:
+        return _KC_PARTIAL_SCHEMA.empty_table()
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = ~np.isin(ids, chosen)
+    if not keep.any():
+        return _KC_PARTIAL_SCHEMA.empty_table()
+    Q = _km_quantize(batch["embedding"])[keep]
+    ids = ids[keep]
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+    best = np.lexsort((ids, -d2))[0]  # max d2, tie → lowest vec_id
+    return pa.table({
+        "vec_id": pa.array([ids[best]], type=pa.int64()),
+        "d2": pa.array([int(d2[best])], type=pa.int64()),
+    })
+
+
+def embed_kcenter_coreset(sf_dir: str) -> pd.DataFrame:
+    """Greedy k-center coreset (Gonzalez farthest-point selection) — the
+    diversity-selection pass of training-data curation: KC_K vectors are
+    picked so each new pick is the point FARTHEST from everything already
+    selected, giving a 2-approximate k-center cover; cover_d2 per pick is
+    the coverage radius² at selection time (the marginal-diversity curve
+    a data-mixture designer reads before fixing the coreset budget).
+    Seed = the smallest vec_id; ties on distance break to the lowest
+    vec_id; all arithmetic on the KM_SHIFT shifted fixed-point ints, so
+    the oracle replays every iteration bit-for-bit in chained CTEs.
+
+    Scale shape: iteration t is ONE streaming scan — every block computes
+    min-distance to the ≤KC_K broadcast centers (k·dim ints via ray.put,
+    never re-shipped per batch) and emits exactly ONE candidate row;
+    the driver reduces |blocks| rows and appends one center. Total work
+    O(K · N · K · dim) with K a small constant; driver state is K rows."""
+    import ray
+
+    ds = _embeddings(sf_dir, ["vec_id", "embedding"]).materialize()
+    seed = ds.sort("vec_id").limit(1).to_pandas()
+    C = _km_quantize(pa.array(list(seed["embedding"])))
+    sel_ids = [int(seed["vec_id"].iloc[0])]
+    sel_d2 = [0]
+    for _ in range(1, KC_K):
+        cref = ray.put(C)
+        chosen_ref = ray.put(np.asarray(sel_ids, dtype=np.int64))
+        cand = ds.map_batches(
+            _kcenter_partials, batch_format="pyarrow", zero_copy_batch=True,
+            fn_kwargs={"cref": cref, "chosen_ref": chosen_ref},
+        ).to_pandas()
+        if cand.empty:
+            break                     # fewer than KC_K distinct vectors
+        cand = cand.sort_values(["d2", "vec_id"],
+                                ascending=[False, True]).iloc[0]
+        nxt = int(cand["vec_id"])
+        sel_ids.append(nxt)
+        sel_d2.append(int(cand["d2"]))
+        row = ds.filter(expr=f"vec_id == {nxt}").to_pandas()
+        C = np.vstack([C, _km_quantize(pa.array(list(row["embedding"])))])
+    return pd.DataFrame({
+        "sel_idx": np.arange(len(sel_ids), dtype=np.int64),
+        "vec_id": np.asarray(sel_ids, dtype=np.int64),
+        "cover_d2": np.asarray(sel_d2, dtype=np.int64),
+    })
+
+
 STRATIFIED_K = 25  # exact per-source quota
 
 
@@ -1700,6 +1781,99 @@ def docs_vocab_topk(sf_dir: str, k: int = VOCAB_TOP_K) -> Dataset:
     )
     counts = grouped_count(words, ["word"])
     return counts.sort(["cnt", "word"], descending=[True, False]).limit(k)
+
+
+_TTR_PAIR_SCHEMA = pa.schema([
+    ("source", pa.string()), ("word", pa.string()), ("c", pa.int64()),
+])
+_TTR_PARTIAL_SCHEMA = pa.schema([
+    ("source", pa.string()), ("n_tokens", pa.int64()),
+    ("n_distinct_tokens", pa.int64()),
+])
+_TTR_SCHEMA = pa.schema([
+    ("source", pa.string()), ("n_tokens", pa.int64()),
+    ("n_distinct_tokens", pa.int64()), ("type_token_permille", pa.int64()),
+])
+
+
+def _source_word_partials(batch: pa.Table) -> pa.Table:
+    """Per-block (source, word) pre-aggregation — the combiner that bounds
+    the shuffle at the block's distinct-pair count, never the exploded
+    token stream (the docs_vocab_topk token law, per source)."""
+    if batch.num_rows == 0:
+        return _TTR_PAIR_SCHEMA.empty_table()
+    words = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"\s+")
+    n = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(words)
+    src = np.repeat(batch["source"].to_numpy(zero_copy_only=False), n)
+    t = pa.table({"source": pa.array(src, type=pa.string()), "word": flat})
+    t = t.filter(pc.not_equal(t["word"], ""))
+    agg = t.group_by(["source", "word"]).aggregate([([], "count_all")])
+    return agg.rename_columns(["source", "word", "c"]).cast(_TTR_PAIR_SCHEMA)
+
+
+def _ttr_pair_block(batch: pa.Table) -> pa.Table:
+    """One (source, word)-exclusive partition → per-source partials. Pair
+    exclusivity makes the distinct-token count EXACT: each (source, word)
+    is finalized here and contributes 1 to n_distinct_tokens exactly once
+    (the conv_role_balance two-phase-combiner shape)."""
+    if batch.num_rows == 0:
+        return _TTR_PARTIAL_SCHEMA.empty_table()
+    merged = batch.group_by(["source", "word"]).aggregate([("c", "sum")])
+    agg = merged.group_by(["source"]).aggregate(
+        [("c_sum", "sum"), ("word", "count")]
+    )
+    return agg.rename_columns(
+        ["source", "n_tokens", "n_distinct_tokens"]
+    ).cast(_TTR_PARTIAL_SCHEMA)
+
+
+def _ttr_merge_block(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return _TTR_PARTIAL_SCHEMA.empty_table()
+    agg = t.group_by(["source"]).aggregate(
+        [("n_tokens", "sum"), ("n_distinct_tokens", "sum")]
+    )
+    return agg.rename_columns(
+        ["source", "n_tokens", "n_distinct_tokens"]
+    ).cast(_TTR_PARTIAL_SCHEMA)
+
+
+def _ttr_final_block(t: pa.Table) -> pa.Table:
+    t = _ttr_merge_block(t)
+    n_tok = t["n_tokens"].to_numpy(zero_copy_only=False)
+    n_dis = t["n_distinct_tokens"].to_numpy(zero_copy_only=False)
+    ttr = np.where(n_tok > 0, (1000 * n_dis) // np.maximum(n_tok, 1), 0)
+    return t.append_column(
+        "type_token_permille", pa.array(ttr, type=pa.int64())
+    ).cast(_TTR_SCHEMA)
+
+
+def docs_type_token_stats(sf_dir: str) -> Dataset:
+    """Per-source lexical-diversity report: total token count, EXACT
+    distinct-token count, and the type-token ratio in integer permille —
+    the corpus-health diagnostic a tokenizer-training / mixture-design
+    pass runs per source (low TTR flags templated or repetitive sources;
+    cf. the Gopher repetition criteria at corpus granularity).
+
+    Scale shape: the exact distinct is a two-phase combiner, never a
+    global distinct shuffle of raw tokens — (1) per-block (source, word)
+    pre-aggregation, (2) hash-partition on (source, word) so each pair is
+    finalized in exactly one partition, (3) tree block-sum over
+    ≤|sources|-row partials; permille computed once at the root."""
+    import ray
+
+    pairs = _docs(sf_dir, ["source", "text"]).map_batches(
+        _source_word_partials, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    partials = _keyed_blocks(pairs, ["source", "word"], _ttr_pair_block)
+    n_mid = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    mid = partials.repartition(n_mid).map_batches(
+        _ttr_merge_block, batch_format="pyarrow", batch_size=None
+    )
+    return mid.repartition(1).map_batches(
+        _ttr_final_block, batch_format="pyarrow", batch_size=None
+    ).sort("source")
 
 
 POSTINGS_VOCAB = 20  # index the top-V corpus words ...

@@ -1203,3 +1203,72 @@ def conv_loop_detect(sf_dir: str) -> Dataset:
         fn_kwargs={"run_min": LOOP_RUN_MIN},
     )
     return out.sort("conv_id")
+
+
+_COST_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("n_assist", pa.int64()),
+    ("prompt_chars", pa.int64()), ("gen_chars", pa.int64()),
+    ("cost_chars", pa.int64()),
+])
+
+
+def _context_cost_block(batch: pa.Table) -> pa.Table:
+    """Quadratic-context cost for one conv-exclusive partition: lexsort by
+    (conv_id, turn_idx), segmented exclusive cumsum of char lengths (the
+    context each turn is served against), then per-conv reduceat over the
+    assistant-turn mask. prompt = context re-read before each assistant
+    turn; gen = the assistant turn's own chars."""
+    import numpy as np
+
+    if batch.num_rows == 0:
+        return _COST_SCHEMA.empty_table()
+    conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+    turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+    chars = pc.cast(pc.utf8_length(batch["text"]), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    is_assist = pc.equal(batch["role"], "assistant") \
+        .to_numpy(zero_copy_only=False)
+    order = np.lexsort((turn, conv))
+    conv, chars, is_assist = conv[order], chars[order], is_assist[order]
+
+    same = np.concatenate(([False], conv[1:] == conv[:-1]))
+    starts = np.flatnonzero(~same)
+    # exclusive running context per conv: global cumsum minus each conv's
+    # inclusive-cumsum base at its first row
+    inc = np.cumsum(chars)
+    base = np.repeat(inc[starts] - chars[starts], np.diff(
+        np.append(starts, conv.size)))
+    prior = inc - chars - base            # chars BEFORE this turn, this conv
+
+    a = is_assist.astype(np.int64)
+    n_assist = np.add.reduceat(a, starts)
+    prompt = np.add.reduceat(np.where(is_assist, prior, 0), starts)
+    gen = np.add.reduceat(np.where(is_assist, chars, 0), starts)
+    return pa.table({
+        "conv_id": pa.array(conv[starts], type=pa.string()),
+        "n_assist": pa.array(n_assist, type=pa.int64()),
+        "prompt_chars": pa.array(prompt, type=pa.int64()),
+        "gen_chars": pa.array(gen, type=pa.int64()),
+        "cost_chars": pa.array(prompt + gen, type=pa.int64()),
+    }).cast(_COST_SCHEMA)
+
+
+def conv_context_cost(sf_dir: str) -> Dataset:
+    """Serving/training cost accounting per conversation under the
+    quadratic-context law: each assistant turn re-reads the whole context
+    so far (prompt_chars) and emits its own text (gen_chars); cost_chars
+    is their sum — the budgeting signal an LLM pipeline uses to price
+    conversations before replay/training (long multi-turn convs cost
+    far more than their raw size; cf. conv_context_growth, which reports
+    the curve this law integrates).
+
+    Scale shape: one hash partition by conv_id, one vectorized
+    lexsort + segmented-exclusive-cumsum + reduceat pass per partition,
+    bounded |convs|-row all-int64 output."""
+    from .dataprep import _keyed_blocks
+
+    ds = read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "text"]
+    ).materialize()
+    out = _keyed_blocks(ds, ["conv_id"], _context_cost_block)
+    return out.sort("conv_id")

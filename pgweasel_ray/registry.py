@@ -62,6 +62,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_session_splits": windows.conv_session_splits,
         "docs_chunk_overlap": dataprep.docs_chunk_overlap,
         "conv_loop_detect": windows.conv_loop_detect,
+        "docs_type_token_stats": dataprep.docs_type_token_stats,
+        "conv_context_cost": windows.conv_context_cost,
+        "embed_kcenter_coreset": dataprep.embed_kcenter_coreset,
         # --- tier B: pipeline/oracle touched in round 5 --------------------
         # (deterministic-order fix: final sort + matching oracle ORDER BY)
         "dedup_chunks": dataprep.dedup_chunks,
@@ -95,17 +98,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_range": events.events_value_range,
         "conv_tool_transitions": windows.conv_tool_transitions,
         "events_by_segment": windows.events_by_segment,
+        # ---- slot 50 boundary ----------------------------------------------
+        # Rotated out mid-round-5 to admit the five new never-driver-
+        # checked queries (docs_chunk_overlap, conv_loop_detect,
+        # docs_type_token_stats, conv_context_cost,
+        # embed_kcenter_coreset): `system` and `events_props_k_sum`
+        # (green r01-r03, order-only change this round; code paths gated
+        # via slow_list and events_value_range), `events_value_linfit`
+        # (green r04 — most recently re-verified, safest to rotate;
+        # events-groupby path stays gated via events_value_range),
+        # `flagged_conv_turns` (green r03; broadcast semi-join path gated
+        # via events_by_segment), and `ann_cosine_topk` (green r02;
+        # brute-scan path shares the broadcast-matmul kernel with
+        # in-window embed_neardup):
         "flagged_conv_turns": windows.flagged_conv_turns,
         "events_value_linfit": events.events_value_linfit,
-        # --- tier C: last driver-green in r02 (longest unverified) ---------
         "ann_cosine_topk": dataprep.ann_cosine_topk,
-        # ---- slot 50 boundary ----------------------------------------------
-        # `system` and `events_props_k_sum` (both green r01+r02+r03,
-        # order-only change this round) rotated out mid-round-5 to admit
-        # the two new never-driver-checked queries (docs_chunk_overlap,
-        # conv_loop_detect); their exact code paths stay gated in-window
-        # via slow_list (record-list sort) and events_value_range (events
-        # groupby) respectively:
         "system": core.system,
         "events_props_k_sum": events.events_props_k_sum,
         # Entries below were driver-green in r03/r04

@@ -83,7 +83,7 @@ QUERIES = [
     "docs_line_dedup", "docs_strip_boilerplate", "dedup_exact",
     "dedup_components", "dedup_cluster_best", "docs_minhash_sim_topk",
     "docs_winnowing", "docs_winnow_sim_topk", "docs_fingerprint",
-    "docs_chunk_overlap",
+    "docs_chunk_overlap", "docs_type_token_stats",
 ]
 
 

@@ -26,12 +26,16 @@ MUST_VERIFY = {
     "conv_response_latency", "conv_role_balance", "conv_context_growth",
     "conv_truncate_context", "conv_error_bursts", "conv_session_splits",
     "docs_chunk_overlap", "conv_loop_detect",
+    "docs_type_token_stats", "conv_context_cost", "embed_kcenter_coreset",
     # pipeline/oracle touched in round 5 (deterministic-order fix: final
     # sort + matching oracle ORDER BY; multimodal pool sizing; guards)
-    # (`system` and `events_props_k_sum`, both green r01+r02+r03 with an
-    # order-only change this round, rotated out mid-round-5 to admit the
-    # two new never-driver-checked queries above — their code paths stay
-    # gated via slow_list and events_value_range)
+    # (rotated out mid-round-5 to admit the five new never-driver-checked
+    # queries above: `system`/`events_props_k_sum` — green r01-r03,
+    # order-only change, code paths gated via slow_list and
+    # events_value_range — plus `events_value_linfit` (green r04),
+    # `flagged_conv_turns` (green r03, semi-join path gated via
+    # events_by_segment) and `ann_cosine_topk` (green r02, kernel shared
+    # with in-window embed_neardup))
     "dedup_chunks", "docs_strip_boilerplate", "docs_tfidf_topk",
     "dedup_incremental", "events_user_sessions",
     "events_user_sessions_salted", "multimodal_image_stats",
@@ -44,14 +48,10 @@ MUST_VERIFY = {
     "connections_by_host",
     "sessions", "conv_first_error", "events_value_range",
     "conv_tool_transitions", "events_by_segment",
-    "flagged_conv_turns", "events_value_linfit",
-    # last driver-green in r02 (longest unverified); the other eight r02
-    # tier-C entries (docs_lang_id/docs_fingerprint/docs_scrub/
-    # docs_decontaminate/docs_vocab_topk/docs_sample_hash/
-    # docs_length_quantiles/corpus_prep) were rotated past slot 50 to make
-    # room for the eight new never-driver-checked round-5 queries —
-    # never-checked outranks longest-unverified-but-green per the policy
-    "ann_cosine_topk",
+    # (the r02-green tier-C entries — docs_lang_id/docs_fingerprint/
+    # docs_scrub/docs_decontaminate/docs_vocab_topk/docs_sample_hash/
+    # docs_length_quantiles/corpus_prep/ann_cosine_topk — sit past slot
+    # 50: never-checked outranks longest-unverified-but-green per policy)
 }
 
 

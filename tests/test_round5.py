@@ -93,6 +93,8 @@ def test_every_shuffle_ending_oracle_has_top_level_order_by():
         "conv_role_balance", "conv_context_growth",
         "conv_truncate_context", "conv_error_bursts", "conv_session_splits",
         "docs_chunk_overlap", "conv_loop_detect",
+        "docs_type_token_stats", "conv_context_cost",
+        "embed_kcenter_coreset",
     ]
     for name in fixed_r5:
         sql = sqls[name]
@@ -422,3 +424,79 @@ def test_loop_detect_all_null_tools_conv():
     assert out["n_tool_calls"].tolist() == [0]
     assert out["max_run"].tolist() == [0]
     assert out["n_loops"].tolist() == [0]
+
+
+# --- docs_type_token_stats / conv_context_cost kernel laws ------------------------
+
+
+def test_type_token_partials_lowercase_and_exact_distinct():
+    """The two-phase combiner equals a naive per-source count: lowering,
+    empty-fragment drop, and exact distinct across blocks (the same word
+    split over two blocks still counts once)."""
+    from pgweasel_ray.pipelines import dataprep as dp
+
+    b1 = pa.table({"source": ["web", "web", "books"],
+                   "text": ["The the DOG", "", "dog runs"]})
+    b2 = pa.table({"source": ["web"], "text": ["dog  the\truns"]})
+    pairs = pa.concat_tables(
+        [dp._source_word_partials(b1), dp._source_word_partials(b2)])
+    out = dp._ttr_final_block(dp._ttr_pair_block(pairs)).to_pandas() \
+        .set_index("source")
+    # web: tokens the,the,dog + dog,the,runs = 6; distinct {the,dog,runs}=3
+    assert out.loc["web", "n_tokens"] == 6
+    assert out.loc["web", "n_distinct_tokens"] == 3
+    assert out.loc["web", "type_token_permille"] == 500
+    # books: dog,runs -> 2/2
+    assert out.loc["books", "n_tokens"] == 2
+    assert out.loc["books", "n_distinct_tokens"] == 2
+    assert out.loc["books", "type_token_permille"] == 1000
+
+
+def test_context_cost_planted_conv():
+    """Planted conv: prompt = exclusive running chars before each
+    assistant turn; a conv with no assistant turns still emits a zero
+    row (cost accounting covers every conversation)."""
+    from pgweasel_ray.pipelines import windows as W
+
+    batch = pa.table({
+        "conv_id": pa.array(["a"] * 4 + ["b"]),
+        "turn_idx": pa.array([0, 1, 2, 3, 0], type=pa.int32()),
+        "role": pa.array(["user", "assistant", "user", "assistant", "user"]),
+        "text": pa.array(["12345", "123", "1234", "12", "123456"]),
+    })
+    out = W._context_cost_block(batch).to_pandas().set_index("conv_id")
+    # assistant turn 1 reads 5 prior chars, turn 3 reads 5+3+4=12
+    assert out.loc["a", "n_assist"] == 2
+    assert out.loc["a", "prompt_chars"] == 5 + 12
+    assert out.loc["a", "gen_chars"] == 3 + 2
+    assert out.loc["a", "cost_chars"] == 17 + 5
+    assert out.loc["b", "n_assist"] == 0
+    assert out.loc["b", "cost_chars"] == 0
+
+
+def test_kcenter_planted_line_geometry(ray_session):
+    """Farthest-point law on a planted 1-D line: seed = min vec_id, each
+    pick is the point farthest from the selected set, distance ties break
+    to the lowest vec_id, and cover_d2 records the radius² at selection.
+    Values are exactly float32-representable so fixed-point quantization
+    is closed-form."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pgweasel_ray.pipelines import dataprep as dp
+
+    S = dp.CENTROID_SCALE
+    tbl = pa.table({
+        "vec_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "embedding": pa.array([[0.0], [1.0], [-1.0], [0.75]],
+                              type=pa.list_(pa.float32())),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, f"{d}/embeddings.parquet")
+        out = dp.embed_kcenter_coreset(d)
+    # seed id1 (0.0); then id2 (1.0, ties id3 at d2=S^2 -> lowest id);
+    # then id3 (-1.0, radius S^2); last id4 (0.75, radius (S/4)^2)
+    assert out["vec_id"].tolist() == [1, 2, 3, 4]
+    assert out["cover_d2"].tolist() == [0, S * S, S * S, (S // 4) ** 2]
+    assert out["sel_idx"].tolist() == [0, 1, 2, 3]

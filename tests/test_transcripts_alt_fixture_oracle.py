@@ -26,7 +26,7 @@ QUERIES = [
     "conv_tool_transitions", "conv_tool_pagerank", "conv_tool_hits",
     "conv_response_latency", "conv_role_balance", "conv_context_growth",
     "conv_truncate_context", "conv_error_bursts", "conv_session_splits",
-    "conv_loop_detect",
+    "conv_loop_detect", "conv_context_cost",
 ]
 
 
