@@ -207,6 +207,8 @@ def run_bench() -> dict:
         timed_e2e("conv_context_cost", windows.conv_context_cost, SF_DIR)
         timed_e2e("embed_kcenter_coreset",
                   dataprep.embed_kcenter_coreset, SF_DIR)
+        timed_e2e("embed_label_outliers",
+                  dataprep.embed_label_outliers, SF_DIR)
         timed_e2e("events_late_arrivals",
                   events.events_late_arrivals, SF_DIR)
         timed_e2e("events_value_linfit",

@@ -1867,6 +1867,35 @@ WITH e AS (
 SELECT label::BIGINT AS label, dim, sum(q)::BIGINT AS sum_q,
        count(*)::BIGINT AS n_vecs
 FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+        # shifted fixed-point floor-mean centroids, exact int64 d2 to the
+        # OWN-label centroid, downshifted-mean threshold (floor division
+        # everywhere on non-negative operands so // agrees across engines)
+        "embed_label_outliers": f"""
+WITH e AS (
+  SELECT vec_id, label::BIGINT AS label,
+         (generate_subscripts(embedding, 1) - 1)::BIGINT AS dim,
+         (floor(unnest(embedding)::DOUBLE * {dataprep.CENTROID_SCALE})
+            ::BIGINT + {dataprep.CENTROID_SCALE}) AS q
+  FROM embeddings
+), cc AS (
+  SELECT label, dim, sum(q) // count(*) AS cq
+  FROM e GROUP BY label, dim
+), d AS (
+  SELECT e.vec_id, e.label,
+         sum((e.q - cc.cq) * (e.q - cc.cq))::BIGINT AS d2
+  FROM e JOIN cc ON e.label = cc.label AND e.dim = cc.dim
+  GROUP BY e.vec_id, e.label
+), t AS (
+  SELECT label,
+         {dataprep.OUT_FACTOR} * (sum(d2 // {1 << dataprep.OUT_DOWNSHIFT})
+           // count(*)) AS thr
+  FROM d GROUP BY label
+)
+SELECT d.vec_id, d.label, d.d2,
+       (CASE WHEN (d.d2 // {1 << dataprep.OUT_DOWNSHIFT}) > t.thr
+             THEN 1 ELSE 0 END)::BIGINT AS is_outlier
+FROM d JOIN t ON d.label = t.label
+ORDER BY d.vec_id""",
         "docs_vocab_topk": _vocab_topk_sql(),
         "docs_decontaminate": _decontaminate_sql(),
         "docs_decontaminate_bloom": _decontaminate_bloom_sql(),

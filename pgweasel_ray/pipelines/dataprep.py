@@ -1480,6 +1480,115 @@ def embed_label_centroids(sf_dir: str) -> Dataset:
     ).sort(["label", "dim"])  # deterministic driver-hash order
 
 
+# --- per-label embedding outliers (mislabel / noisy-vector detection) -----------
+
+OUT_FACTOR = 2        # flag d2 above this multiple of the label's mean d2
+OUT_DOWNSHIFT = 20    # d2 is >>'ed by this before summing: keeps the
+                      # per-label sum inside int64 out to ~2^35 vecs/label
+                      # (raw d2 <= dim * (2*SCALE)^2 ~ 2^48 would overflow
+                      # an int64 sum past ~2^15 rows)
+
+_OUTLIER_SCHEMA = pa.schema([
+    ("vec_id", pa.int64()), ("label", pa.int64()),
+    ("d2", pa.int64()), ("is_outlier", pa.int64()),
+])
+
+
+def _own_centroid_d2(batch: pa.Table, cref):
+    """(vec_id, label, d2) for one block: exact int64 squared distance of
+    every vector to ITS OWN label's broadcast centroid (shifted
+    fixed-point, floor-mean centroids — bit-identical to the oracle)."""
+    import ray
+
+    L, Cmat = ray.get(cref)       # sorted label keys, (|labels|, dim) rows
+    q = _km_quantize(batch["embedding"])
+    lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = Cmat[np.searchsorted(L, lab)]
+    d2 = ((q - rows) ** 2).sum(axis=1)
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return ids, lab, d2
+
+
+def _outlier_sum_partials(batch: pa.Table, cref) -> pa.Table:
+    """Per-label (sum of downshifted d2, count) partials — ≤|labels| rows
+    leave each block."""
+    if batch.num_rows == 0:
+        return pa.table({"label": pa.array([], type=pa.int64()),
+                         "sd2": pa.array([], type=pa.int64()),
+                         "n": pa.array([], type=pa.int64())})
+    _, lab, d2 = _own_centroid_d2(batch, cref)
+    sd2 = d2 >> OUT_DOWNSHIFT
+    order = np.argsort(lab, kind="stable")
+    lab_s, sd2_s = lab[order], sd2[order]
+    starts = np.flatnonzero(np.r_[True, lab_s[1:] != lab_s[:-1]])
+    return pa.table({
+        "label": pa.array(lab_s[starts], type=pa.int64()),
+        "sd2": pa.array(np.add.reduceat(sd2_s, starts), type=pa.int64()),
+        "n": pa.array(np.diff(np.r_[starts, lab_s.size]), type=pa.int64()),
+    })
+
+
+def _outlier_flag_block(batch: pa.Table, cref, tref) -> pa.Table:
+    """Final flag pass: is_outlier ⇔ downshifted d2 strictly above the
+    label's broadcast threshold."""
+    import ray
+
+    if batch.num_rows == 0:
+        return _OUTLIER_SCHEMA.empty_table()
+    TL, thr = ray.get(tref)       # sorted label keys, threshold per label
+    ids, lab, d2 = _own_centroid_d2(batch, cref)
+    t = thr[np.searchsorted(TL, lab)]
+    return pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "label": pa.array(lab, type=pa.int64()),
+        "d2": pa.array(d2, type=pa.int64()),
+        "is_outlier": pa.array(
+            ((d2 >> OUT_DOWNSHIFT) > t).astype(np.int64), type=pa.int64()),
+    }).cast(_OUTLIER_SCHEMA)
+
+
+def embed_label_outliers(sf_dir: str) -> Dataset:
+    """Mislabel / noisy-embedding detection: flag every vector whose
+    squared distance to ITS OWN label's centroid exceeds OUT_FACTOR× the
+    label's mean — the embedding-quality filter a curation pipeline runs
+    before trusting labels for stratified sampling or classifier
+    distillation (cf. embed_label_centroids, whose exact fixed-point
+    centroid state this consumes).
+
+    Scale shape: three streaming scans, zero unbounded shuffles —
+    (1) the label-centroid aggregate (labels×dim partial rows per block),
+    (2) per-label (Σ d2>>OUT_DOWNSHIFT, n) partials under the broadcast
+    centroids, (3) the flag pass under broadcast thresholds. Driver state
+    is labels×dim ints; the downshifted sum keeps int64 exact out to
+    ~2^35 vectors per label."""
+    import ray
+
+    cent = embed_label_centroids(sf_dir).to_pandas()
+    n = cent["n_vecs"].to_numpy()
+    cq = (cent["sum_q"].to_numpy() + CENTROID_SCALE * n) // n  # shifted
+    labs = cent["label"].to_numpy()
+    L = np.unique(labs)                     # sorted; cent is (label, dim)-
+    dim = int(cent["dim"].max()) + 1        # sorted so reshape is aligned
+    Cmat = cq.reshape(len(L), dim)
+    cref = ray.put((L, Cmat))
+
+    ds = _embeddings(sf_dir, ["vec_id", "embedding", "label"]).materialize()
+    sums = ds.map_batches(
+        _outlier_sum_partials, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"cref": cref},
+    ).groupby("label").aggregate(
+        Sum("sd2", alias_name="sd2"), Sum("n", alias_name="n")
+    ).to_pandas()
+    sums = sums.sort_values("label")
+    TL = sums["label"].to_numpy().astype(np.int64)
+    thr = OUT_FACTOR * (sums["sd2"].to_numpy() // sums["n"].to_numpy())
+    tref = ray.put((TL, thr.astype(np.int64)))
+    return ds.map_batches(
+        _outlier_flag_block, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"cref": cref, "tref": tref},
+    ).sort("vec_id")
+
+
 # --- distributed Lloyd's k-means (full-corpus iterative training loop) ----------
 
 KM_K = 4          # clusters

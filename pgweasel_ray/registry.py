@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_type_token_stats": dataprep.docs_type_token_stats,
         "conv_context_cost": windows.conv_context_cost,
         "embed_kcenter_coreset": dataprep.embed_kcenter_coreset,
+        "embed_label_outliers": dataprep.embed_label_outliers,
         # --- tier B: pipeline/oracle touched in round 5 --------------------
         # (deterministic-order fix: final sort + matching oracle ORDER BY)
         "dedup_chunks": dataprep.dedup_chunks,
@@ -94,23 +95,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "slow_list": core.slow_list,
         "connections_by_host": core.connections_by_host,
         "sessions": core.sessions,
-        "conv_first_error": core.conv_first_error,
         "events_value_range": events.events_value_range,
         "conv_tool_transitions": windows.conv_tool_transitions,
         "events_by_segment": windows.events_by_segment,
         # ---- slot 50 boundary ----------------------------------------------
-        # Rotated out mid-round-5 to admit the five new never-driver-
+        # Rotated out mid-round-5 to admit the six new never-driver-
         # checked queries (docs_chunk_overlap, conv_loop_detect,
-        # docs_type_token_stats, conv_context_cost,
-        # embed_kcenter_coreset): `system` and `events_props_k_sum`
+        # docs_type_token_stats, conv_context_cost, embed_kcenter_coreset,
+        # embed_label_outliers): `system` and `events_props_k_sum`
         # (green r01-r03, order-only change this round; code paths gated
         # via slow_list and events_value_range), `events_value_linfit`
         # (green r04 — most recently re-verified, safest to rotate;
         # events-groupby path stays gated via events_value_range),
         # `flagged_conv_turns` (green r03; broadcast semi-join path gated
-        # via events_by_segment), and `ann_cosine_topk` (green r02;
-        # brute-scan path shares the broadcast-matmul kernel with
-        # in-window embed_neardup):
+        # via events_by_segment), `conv_first_error` (green r03;
+        # parse+groupby-first path gated via sessions/errors_by_severity),
+        # and `ann_cosine_topk` (green r02; brute-scan path shares the
+        # broadcast-matmul kernel with in-window embed_neardup).
+        # events_by_segment stays IN-window deliberately: it is the only
+        # Dataset.join (dimension-join) exercise in the registry.
+        "conv_first_error": core.conv_first_error,
         "flagged_conv_turns": windows.flagged_conv_turns,
         "events_value_linfit": events.events_value_linfit,
         "ann_cosine_topk": dataprep.ann_cosine_topk,

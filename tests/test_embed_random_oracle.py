@@ -56,7 +56,7 @@ def static_oracles():
 
 
 STATIC = ["ann_cosine_topk", "ann_lsh_topk", "embed_label_centroids",
-          "embed_neardup"]
+          "embed_neardup", "embed_label_outliers"]
 BOUND = {"ann_ivf_topk": lambda d: oq._ann_ivf_sql(d),
          "embed_kmeans_centroids": lambda d: oq._kmeans_sql(d),
          "embed_kcenter_coreset": lambda d: oq._kcenter_sql(d)}

@@ -27,15 +27,19 @@ MUST_VERIFY = {
     "conv_truncate_context", "conv_error_bursts", "conv_session_splits",
     "docs_chunk_overlap", "conv_loop_detect",
     "docs_type_token_stats", "conv_context_cost", "embed_kcenter_coreset",
+    "embed_label_outliers",
     # pipeline/oracle touched in round 5 (deterministic-order fix: final
     # sort + matching oracle ORDER BY; multimodal pool sizing; guards)
-    # (rotated out mid-round-5 to admit the five new never-driver-checked
+    # (rotated out mid-round-5 to admit the six new never-driver-checked
     # queries above: `system`/`events_props_k_sum` — green r01-r03,
     # order-only change, code paths gated via slow_list and
     # events_value_range — plus `events_value_linfit` (green r04),
     # `flagged_conv_turns` (green r03, semi-join path gated via
-    # events_by_segment) and `ann_cosine_topk` (green r02, kernel shared
-    # with in-window embed_neardup))
+    # events_by_segment), `conv_first_error` (green r03, parse+groupby
+    # path gated via sessions/errors_by_severity) and `ann_cosine_topk`
+    # (green r02, kernel shared with in-window embed_neardup);
+    # events_by_segment stays in-window as the registry's only
+    # Dataset.join exercise)
     "dedup_chunks", "docs_strip_boilerplate", "docs_tfidf_topk",
     "dedup_incremental", "events_user_sessions",
     "events_user_sessions_salted", "multimodal_image_stats",
@@ -46,7 +50,7 @@ MUST_VERIFY = {
     "embed_neardup", "events_asof_prior",
     "errors_by_severity", "errors_window", "slow_list",
     "connections_by_host",
-    "sessions", "conv_first_error", "events_value_range",
+    "sessions", "events_value_range",
     "conv_tool_transitions", "events_by_segment",
     # (the r02-green tier-C entries — docs_lang_id/docs_fingerprint/
     # docs_scrub/docs_decontaminate/docs_vocab_topk/docs_sample_hash/

@@ -94,7 +94,7 @@ def test_every_shuffle_ending_oracle_has_top_level_order_by():
         "conv_truncate_context", "conv_error_bursts", "conv_session_splits",
         "docs_chunk_overlap", "conv_loop_detect",
         "docs_type_token_stats", "conv_context_cost",
-        "embed_kcenter_coreset",
+        "embed_kcenter_coreset", "embed_label_outliers",
     ]
     for name in fixed_r5:
         sql = sqls[name]
@@ -500,3 +500,31 @@ def test_kcenter_planted_line_geometry(ray_session):
     assert out["vec_id"].tolist() == [1, 2, 3, 4]
     assert out["cover_d2"].tolist() == [0, S * S, S * S, (S // 4) ** 2]
     assert out["sel_idx"].tolist() == [0, 1, 2, 3]
+
+
+def test_label_outliers_planted_far_vector(ray_session):
+    """One label cluster hugging +0.5 with a single far vector at -0.5:
+    only the far vector is flagged, and d2 is the exact fixed-point
+    distance to the floor-mean centroid."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pgweasel_ray.pipelines import dataprep as dp
+
+    vals = [[0.5], [0.5], [0.5], [0.5], [-0.5]]
+    tbl = pa.table({
+        "vec_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "embedding": pa.array(vals, type=pa.list_(pa.float32())),
+        "label": pa.array([0] * 5, type=pa.int32()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, f"{d}/embeddings.parquet")
+        out = dp.embed_label_outliers(d).to_pandas().set_index("vec_id")
+    S = dp.CENTROID_SCALE
+    # shifted q: 0.5 -> 1.5S, -0.5 -> 0.5S; centroid = (4*1.5S + 0.5S)//5
+    cq = (4 * (3 * S // 2) + S // 2) // 5
+    assert out.loc[5, "d2"] == (S // 2 - cq) ** 2
+    assert out.loc[5, "is_outlier"] == 1
+    assert out.loc[1, "d2"] == (3 * S // 2 - cq) ** 2
+    assert out["is_outlier"].tolist() == [0, 0, 0, 0, 1]
