@@ -214,6 +214,10 @@ def run_bench() -> dict:
         timed_e2e("events_value_linfit",
                   events.events_value_linfit, SF_DIR)
         timed_e2e("events_value_bins", events.events_value_bins, SF_DIR)
+        timed_e2e("conv_role_handoffs",
+                  windows.conv_role_handoffs, SF_DIR)
+        timed_e2e("events_cusum_drift",
+                  events.events_cusum_drift, SF_DIR)
 
     result = {
         "metric": "parse→route→aggregate throughput (turns/sec)",

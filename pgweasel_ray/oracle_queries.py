@@ -1735,6 +1735,14 @@ WITH t AS (
 )
 SELECT prev AS from_tool, tool AS to_tool, count(*)::BIGINT AS cnt
 FROM t WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""",
+        "conv_role_handoffs": f"""
+WITH t AS (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM read_parquet('{glob}')
+)
+SELECT prev AS from_role, role AS to_role, count(*)::BIGINT AS cnt
+FROM t WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""",
         "events_sliding_avg": f"""
 WITH h AS (
   SELECT {eh} AS bucket_ts, count(*) AS cnt FROM events
@@ -2097,6 +2105,33 @@ WITH c AS (
 SELECT bucket_ts, rank::BIGINT AS rank, event_type, cnt
 FROM r WHERE rank <= {events_mod.DAILY_TOP_K}
 ORDER BY bucket_ts, rank""",
+        # mean-centered CUSUM kept integral by scaling with n:
+        # c_k = n·pre_k − k·tot over the (ts, event_id)-ordered qv
+        # sequence; HUGEINT window sums replay the pipeline bit-for-bit
+        "events_cusum_drift": f"""
+WITH q AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * {events_mod.CUSUM_SCALE}) AS HUGEINT) AS qv
+  FROM events
+), s AS (
+  SELECT event_type,
+         row_number() OVER w AS k,
+         sum(qv) OVER w AS pre,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(qv) OVER (PARTITION BY event_type) AS tot
+  FROM q WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING)
+), c AS (
+  SELECT event_type, n, k, abs(n * pre - k * tot) AS a FROM s
+), r AS (
+  SELECT event_type, n, k, a,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY a DESC, k) AS rn
+  FROM c
+)
+SELECT event_type, n::BIGINT AS n, a::BIGINT AS drift,
+       k::BIGINT AS drift_at
+FROM r WHERE rn = 1 ORDER BY event_type""",
         "docs_kmv_distinct": _kmv_distinct_sql(),
         "events_value_linfit": _value_linfit_sql(),
         "events_late_arrivals": _late_arrivals_sql(),

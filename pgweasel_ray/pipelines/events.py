@@ -880,3 +880,146 @@ def events_daily_top_types(sf_dir: str, k: int = DAILY_TOP_K):
     out = counts[counts["rank"] <= k].reset_index(drop=True)
     out["rank"] = out["rank"].astype("int64")
     return out[["bucket_ts", "rank", "event_type", "cnt"]]
+
+
+# --- CUSUM drift detection (exact-int changepoint scan per event type) -----------
+
+CUSUM_SCALE = 10**6   # qv = floor(value · CUSUM_SCALE): one shared quantization
+
+
+def _cusum_qv(batch: pa.Table) -> pa.Table:
+    """Quantize value to the integer domain BEFORE the sort, so every
+    arithmetic op downstream (prefix sums, the n·pre − k·tot deviation) is
+    exact and bit-replayable in SQL — same floor(value·SCALE) IEEE
+    expression the oracle evaluates."""
+    qv = pc.cast(
+        pc.floor(pc.multiply(batch["value"], pa.scalar(float(CUSUM_SCALE)))),
+        pa.int64(),
+    )
+    return pa.table({
+        "event_type": batch["event_type"], "ts": batch["ts"],
+        "event_id": batch["event_id"], "qv": qv,
+    })
+
+
+def _cusum_runs(et, qv):
+    """(start, end) pairs of the contiguous per-type runs of a
+    (event_type, ts, event_id)-sorted block."""
+    import numpy as np
+
+    change = np.nonzero(et[1:] != et[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [et.size]))
+    return zip(starts.tolist(), ends.tolist())
+
+
+def _cusum_block_partials(t: pa.Table) -> dict:
+    """Per-type (row count, Σqv) for one sorted block — the only state the
+    driver accumulates: |types| × |blocks| integer pairs."""
+    out: dict = {}
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    if et.size == 0:
+        return out
+    qv = t["qv"].to_numpy(zero_copy_only=False)
+    for s, e in _cusum_runs(et, qv):
+        out[et[s]] = (e - s, int(qv[s:e].sum()))
+    return out
+
+
+def _cusum_block_scan(t: pa.Table, offsets: dict, n_tot: dict,
+                      q_tot: dict) -> dict:
+    """Per-type best (deviation, position) candidate within one sorted
+    block: c_k = n·pre_k − k·tot (the mean-centered CUSUM scaled by n so
+    it stays integral), argmax |c_k| with ties to the SMALLEST k. int64
+    vectorized fast path under a proven bound, exact Python-int loop
+    above it (n·pre outgrows 2^63 at extreme corpus scale)."""
+    import numpy as np
+
+    out: dict = {}
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    if et.size == 0:
+        return out
+    qv = t["qv"].to_numpy(zero_copy_only=False)
+    for s, e in _cusum_runs(et, qv):
+        g = et[s]
+        n, tot = n_tot[g], q_tot[g]
+        k0, p0 = offsets.get(g, (0, 0))
+        seg = qv[s:e]
+        m = e - s
+        # |n·pre − k·tot| ≤ n·(|p0| + Σ|qv|) + n·|tot|; float64 bound with
+        # 2^61 slack for the approximation
+        approx = float(np.abs(seg).sum(dtype=np.float64)) + abs(p0) + abs(tot)
+        if n * approx < float(2**61):
+            k = np.int64(k0) + np.arange(1, m + 1, dtype=np.int64)
+            pre = np.int64(p0) + np.cumsum(seg, dtype=np.int64)
+            a = np.abs(np.int64(n) * pre - k * np.int64(tot))
+            i = int(np.argmax(a))          # first max = smallest k
+            out[g] = (int(a[i]), int(k[i]))
+        else:
+            best_a, best_k, pre = -1, -1, p0
+            for j, v in enumerate(seg.tolist()):
+                pre += v
+                a = abs(n * pre - (k0 + j + 1) * tot)
+                if a > best_a:
+                    best_a, best_k = a, k0 + j + 1
+            out[g] = (best_a, best_k)
+    return out
+
+
+def events_cusum_drift(sf_dir: str) -> pd.DataFrame:
+    """CUSUM drift/changepoint scan per event_type: over the (ts,
+    event_id)-ordered value sequence, the maximum |cumulative deviation
+    from the type's own mean| and the 1-indexed position where it peaks —
+    the standard "did this metric's level shift, and when" monitor, exact.
+
+    All arithmetic is integer: values quantize once (qv =
+    floor(value·CUSUM_SCALE)), and the mean-centered cumulative sum is
+    kept integral by scaling with n (c_k = n·pre_k − k·tot, pre_k the
+    running Σqv), so driver and oracle agree bit-for-bit — the oracle
+    replays the identical expression over HUGEINT window sums.
+
+    Scale shape (the two-phase block prefix-sum pattern of
+    docs_pack_sequences / events_value_bins): one distributed sort by
+    (event_type, ts, event_id), then per-block (count, Σqv) partials —
+    |types|·|blocks| ints are ALL the driver ever holds — then one
+    embarrassingly-parallel re-scan per block under broadcast offsets;
+    per-block candidates (not rows) come back for the bounded final
+    reduce. A running statistic is inherently sequential per type, but
+    nothing here materializes a type's sequence in one place."""
+    import pandas as pd
+    import ray
+
+    ds = _events(sf_dir, ["event_id", "ts", "event_type", "value"]).map_batches(
+        _cusum_qv, batch_format="pyarrow", zero_copy_batch=True,
+    ).sort(["event_type", "ts", "event_id"]).materialize()
+    refs = ds.to_arrow_refs()
+    part = ray.remote(num_cpus=0.25)(_cusum_block_partials)
+    per_block = ray.get([part.remote(r) for r in refs])
+    types = sorted({g for d in per_block for g in d})
+    n_tot = {g: 0 for g in types}
+    q_tot = {g: 0 for g in types}
+    offsets, run = [], {g: (0, 0) for g in types}
+    for d in per_block:                       # Python ints: overflow-free
+        for g, (c, s) in d.items():
+            n_tot[g] += c
+            q_tot[g] += s
+    for d in per_block:
+        offsets.append(dict(run))
+        for g, (c, s) in d.items():
+            k0, p0 = run[g]
+            run[g] = (k0 + c, p0 + s)
+    scan = ray.remote(num_cpus=0.25)(_cusum_block_scan)
+    cands = ray.get([scan.remote(r, o, n_tot, q_tot)
+                     for r, o in zip(refs, offsets)])
+    best: dict[str, tuple[int, int]] = {}
+    for d in cands:
+        for g, (a, k) in d.items():
+            cur = best.get(g)
+            if cur is None or (a, -k) > (cur[0], -cur[1]):
+                best[g] = (a, k)
+    return pd.DataFrame({
+        "event_type": types,                  # sorted: deterministic order
+        "n": pd.array([n_tot[g] for g in types], dtype="int64"),
+        "drift": pd.array([best[g][0] for g in types], dtype="int64"),
+        "drift_at": pd.array([best[g][1] for g in types], dtype="int64"),
+    })

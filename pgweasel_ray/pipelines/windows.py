@@ -1272,3 +1272,69 @@ def conv_context_cost(sf_dir: str) -> Dataset:
     ).materialize()
     out = _keyed_blocks(ds, ["conv_id"], _context_cost_block)
     return out.sort("conv_id")
+
+
+# --- role→role handoff matrix (dialogue-structure analytics) ---------------------
+
+
+def _handoffs_block(batch: pa.Table) -> pa.Table:
+    """Per-conv consecutive-turn ROLE pairs for one conv-exclusive
+    partition — the _transitions_block kernel pointed at the role column:
+    one lexsort + one shifted compare, per-block pre-aggregated counts."""
+    import numpy as np
+
+    empty = pa.table({"from_role": pa.array([], type=pa.string()),
+                      "to_role": pa.array([], type=pa.string()),
+                      "cnt": pa.array([], type=pa.int64())})
+    if batch.num_rows < 2:
+        return empty
+    conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+    turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+    role = batch["role"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((turn, conv))
+    conv, role = conv[order], role[order]
+    same = conv[1:] == conv[:-1]
+    if not same.any():
+        return empty
+    pairs = pa.table({
+        "from_role": pa.array(role[:-1][same], type=pa.string()),
+        "to_role": pa.array(role[1:][same], type=pa.string()),
+    })
+    agg = pairs.group_by(["from_role", "to_role"]).aggregate(
+        [([], "count_all")]
+    )
+    return agg.rename_columns(["from_role", "to_role", "cnt"])
+
+
+def _sum_handoffs_block(t: pa.Table) -> pa.Table:
+    agg = t.group_by(["from_role", "to_role"]).aggregate([("cnt", "sum")])
+    return agg.rename_columns(["from_role", "to_role", "cnt"])
+
+
+def conv_role_handoffs(sf_dir: str) -> Dataset:
+    """Markov handoff counts between the ROLES of consecutive turns within
+    each conversation — who yields to whom (user→assistant,
+    assistant→tool, tool→assistant, …), the dialogue-structure matrix a
+    transcript corpus is triaged by before training-mix decisions.
+
+    Shape: identical to conv_tool_transitions (the registry's
+    transition-graph exercise) — conv-exclusive keyed blocks, vectorized
+    shift-compare, per-block pre-aggregation, then the two-level TREE
+    block-sum over pair partials (result bounded at |roles|² rows, so no
+    key needs its own reducer and the tree dodges the snapshotted
+    HASH_SHUFFLE context a chained groupby would execute under)."""
+    import ray
+
+    from .dataprep import _keyed_blocks
+
+    ds = read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "role"]
+    ).materialize()
+    partials = _keyed_blocks(ds, ["conv_id"], _handoffs_block)
+    n_mid = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    mid = partials.repartition(n_mid).map_batches(
+        _sum_handoffs_block, batch_format="pyarrow", batch_size=None
+    )
+    return mid.repartition(1).map_batches(
+        _sum_handoffs_block, batch_format="pyarrow", batch_size=None
+    ).sort(["from_role", "to_role"])  # deterministic driver-hash order

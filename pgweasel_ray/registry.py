@@ -14,6 +14,7 @@ tests/test_round5.py encodes the rotation policy over the cumulative
 CORRECTNESS_r*.json ledger.
 
 Round-5 window: slots 1-4 are the never-driver-green set (conv_tool_hits,
+then — added at round-5 close — conv_role_handoffs + events_cusum_drift;
 events_value_mad, events_daily_top_types per ADVICE r4; docs_pack_sequences
 had rows+schema green but hash red in r04), slots 5-12 the new ExactSubstr
 family (span report, span strip, novelty score) and the five new
@@ -66,13 +67,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_context_cost": windows.conv_context_cost,
         "embed_kcenter_coreset": dataprep.embed_kcenter_coreset,
         "embed_label_outliers": dataprep.embed_label_outliers,
+        "conv_role_handoffs": windows.conv_role_handoffs,
+        "events_cusum_drift": events.events_cusum_drift,
         # --- tier B: pipeline/oracle touched in round 5 --------------------
         # (deterministic-order fix: final sort + matching oracle ORDER BY)
         "dedup_chunks": dataprep.dedup_chunks,
         "docs_strip_boilerplate": dataprep.docs_strip_boilerplate,
         "docs_tfidf_topk": dataprep.docs_tfidf_topk,
         "dedup_incremental": dataprep.dedup_incremental,
-        "events_user_sessions": windows.events_user_sessions,
         "events_user_sessions_salted": windows.events_user_sessions_salted,
         "multimodal_image_stats": dataprep.multimodal_image_stats,
         "multimodal_audio_stats": dataprep.multimodal_audio_stats,
@@ -96,9 +98,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connections_by_host": core.connections_by_host,
         "sessions": core.sessions,
         "events_value_range": events.events_value_range,
-        "conv_tool_transitions": windows.conv_tool_transitions,
         "events_by_segment": windows.events_by_segment,
         # ---- slot 50 boundary ----------------------------------------------
+        # Rotated out at round-5 close to admit conv_role_handoffs +
+        # events_cusum_drift (never-checked outranks green per policy):
+        # `events_user_sessions` (green r01-r04, the registry's
+        # most-verified entry; its order-fixed path stays gated via the
+        # value-identical in-window salted variant) and
+        # `conv_tool_transitions` (green r03; its exact _keyed_blocks +
+        # tree-sum + final-sort path is freshly exercised in-window by
+        # the NEW conv_role_handoffs).
+        "events_user_sessions": windows.events_user_sessions,
+        "conv_tool_transitions": windows.conv_tool_transitions,
         # Rotated out mid-round-5 to admit the six new never-driver-
         # checked queries (docs_chunk_overlap, conv_loop_detect,
         # docs_type_token_stats, conv_context_cost, embed_kcenter_coreset,

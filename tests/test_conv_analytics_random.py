@@ -353,3 +353,28 @@ def test_truncate_kernel_matches_naive_reference(seed):
         assert out["n_kept"][row] == n_kept, (cid, budget)
         assert out["kept_tokens"][row] == kept_tokens, (cid, budget)
         assert out["first_kept_turn"][row] == first, (cid, budget)
+
+
+@pytest.mark.parametrize("seed", [9, 310])
+def test_handoffs_kernel_matches_sql_lag(seed):
+    """_handoffs_block on the whole (trivially conv-exclusive) random
+    table must equal the oracle's lag() pair counts — including the
+    shuffled-input-order and sparse-turn_idx cases."""
+    from pgweasel_ray.pipelines.windows import _handoffs_block
+
+    tbl = _random_transcripts(seed, n_convs=25)
+    got = _handoffs_block(tbl).to_pandas().sort_values(
+        ["from_role", "to_role"]).reset_index(drop=True)
+    want = _sql(tbl, """
+        WITH t AS (
+          SELECT conv_id, role,
+                 lag(role) OVER (PARTITION BY conv_id
+                                 ORDER BY turn_idx) AS prev
+          FROM tr
+        )
+        SELECT prev AS from_role, role AS to_role,
+               count(*)::BIGINT AS cnt
+        FROM t WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""")
+    assert got["from_role"].tolist() == want["from_role"]
+    assert got["to_role"].tolist() == want["to_role"]
+    assert got["cnt"].tolist() == want["cnt"]

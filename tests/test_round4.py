@@ -27,7 +27,7 @@ MUST_VERIFY = {
     "conv_truncate_context", "conv_error_bursts", "conv_session_splits",
     "docs_chunk_overlap", "conv_loop_detect",
     "docs_type_token_stats", "conv_context_cost", "embed_kcenter_coreset",
-    "embed_label_outliers",
+    "embed_label_outliers", "conv_role_handoffs", "events_cusum_drift",
     # pipeline/oracle touched in round 5 (deterministic-order fix: final
     # sort + matching oracle ORDER BY; multimodal pool sizing; guards)
     # (rotated out mid-round-5 to admit the six new never-driver-checked
@@ -40,8 +40,13 @@ MUST_VERIFY = {
     # (green r02, kernel shared with in-window embed_neardup);
     # events_by_segment stays in-window as the registry's only
     # Dataset.join exercise)
+    # (rotated out at round-5 close to admit conv_role_handoffs +
+    # events_cusum_drift: `events_user_sessions` — green r01-r04, path
+    # gated via the value-identical in-window salted variant — and
+    # `conv_tool_transitions` — green r03, exact code path exercised
+    # in-window by the new conv_role_handoffs)
     "dedup_chunks", "docs_strip_boilerplate", "docs_tfidf_topk",
-    "dedup_incremental", "events_user_sessions",
+    "dedup_incremental",
     "events_user_sessions_salted", "multimodal_image_stats",
     "multimodal_audio_stats", "multimodal_video_frames", "docs_line_dedup",
     "docs_source_stats", "embed_label_centroids", "severity_tool_rollup",
@@ -51,7 +56,7 @@ MUST_VERIFY = {
     "errors_by_severity", "errors_window", "slow_list",
     "connections_by_host",
     "sessions", "events_value_range",
-    "conv_tool_transitions", "events_by_segment",
+    "events_by_segment",
     # (the r02-green tier-C entries — docs_lang_id/docs_fingerprint/
     # docs_scrub/docs_decontaminate/docs_vocab_topk/docs_sample_hash/
     # docs_length_quantiles/corpus_prep/ann_cosine_topk — sit past slot
