@@ -1171,3 +1171,33 @@ def test_transitions_block_hand_case():
     want = {("t1", "t2"): 2, ("t2", "t3"): 1}
     assert {(r.from_tool, r.to_tool): r.cnt
             for r in got.itertuples()} == want
+
+
+def test_weighted_sample_keep_rule_against_independent_length():
+    """ADVICE r4: decouple the weighted-sample check from the STORED
+    n_chars column. (a) the driver fixture's n_chars really is len(text)
+    — a regenerated fixture with different semantics fails here, not
+    silently in both engines at once; (b) the kernel's keep set equals a
+    naive per-row evaluation of u·DEN < len(text)·P on independently
+    recomputed lengths."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pgweasel_ray import hashing as H
+    from pgweasel_ray.pipelines.dataprep import (WSAMPLE_DEN,
+                                                 _weighted_sample_filter)
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "n_chars"])
+    n_indep = pc.utf8_length(t["text"]).cast(pa.int64())
+    assert pc.all(pc.equal(n_indep, t["n_chars"].cast(pa.int64()))).as_py()
+
+    recomputed = pa.table({"doc_id": t["doc_id"], "n_chars": n_indep})
+    kept = set(_weighted_sample_filter(recomputed)["doc_id"].to_pylist())
+    naive = {
+        int(i) for i, txt in zip(t["doc_id"].to_pylist(),
+                                 t["text"].to_pylist())
+        if ((int(i) % H.P) * H.SAMPLE_A + H.SAMPLE_B) % H.P * WSAMPLE_DEN
+        < len(txt) * H.P
+    }
+    assert kept == naive and len(kept) > 0
